@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+
+This is the JAX fake-backend equivalent of a multi-node harness — all
+multi-chip sharding tests run against 8 virtual CPU devices (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Keep compile caches warm between runs.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def has_reference() -> bool:
+    return REFERENCE_ROOT.exists()
