@@ -43,6 +43,7 @@ def _depthwise_valid_conv(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -165,7 +165,7 @@ class TestMetrics:
         t = (p + 0.05 * RNG.standard_normal(p.shape)).astype(np.float32).clip(0, 1)
         expected = ssim_torch(nchw(p), nchw(t)).item()
         ours = float(ssim(jnp.asarray(p), jnp.asarray(t)))
-        assert abs(ours - expected) < 1e-5
+        assert abs(ours - expected) < 1e-4
 
     def test_train_metrics_accumulator_matches_reference(self):
         from tests._torch_ref import load_reference_metrics
