@@ -1,0 +1,100 @@
+"""U-Net discriminators with spectral norm — both reference variants.
+
+UNetDiscriminatorSNSwin (models/discriminator_swin.py:6-84): all-SN,
+ConvTranspose upsampling, bilinear(align_corners=True) size fix, channel
+CONCAT skips.
+
+UNetDiscriminatorSNHAT (models/discriminator_hat.py:8-50, Real-ESRGAN
+style): plain conv0/conv9, SN elsewhere, bilinear(align_corners=False) x2
+upsampling, ADDITIVE skips.
+
+``update_stats`` mirrors torch train/eval: every training forward advances
+the spectral power iteration (stored in the ``spectral`` collection).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.resize import interpolate_bilinear
+from .layers import Conv2d, leaky_relu
+from .spectral_norm import SNConv2d
+
+Dtype = Any
+
+
+class UNetDiscriminatorSNSwin(nn.Module):
+    num_in_ch: int = 1
+    num_feat: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, update_stats: bool = False) -> jnp.ndarray:
+        nf = self.num_feat
+        lr = lambda t: leaky_relu(t, 0.2)  # noqa: E731
+        sn = lambda f, k, s, p, name, tr=False: SNConv2d(  # noqa: E731
+            f, k, s, p, use_bias=False, transpose=tr, dtype=self.dtype, name=name
+        )
+
+        x0 = lr(sn(nf, 3, 1, 1, "conv0_0")(x, update_stats))
+        x0 = lr(sn(nf, 4, 2, 1, "conv0_1")(x0, update_stats))
+        x1 = lr(sn(nf * 2, 4, 2, 1, "conv1")(x0, update_stats))
+        x2 = lr(sn(nf * 4, 4, 2, 1, "conv2")(x1, update_stats))
+        x3 = lr(sn(nf * 8, 4, 2, 1, "conv3")(x2, update_stats))
+        x4 = lr(sn(nf * 8, 4, 2, 1, "conv4")(x3, update_stats))
+
+        def up(feat, skip, features, name):
+            y = lr(sn(features, 4, 2, 1, name, tr=True)(feat, update_stats))
+            if y.shape[1:3] != skip.shape[1:3]:
+                y = interpolate_bilinear(y, skip.shape[1:3], align_corners=True)
+            return jnp.concatenate([y, skip], axis=-1)
+
+        d1 = up(x4, x3, nf * 8, "up1")
+        d2 = up(d1, x2, nf * 4, "up2")
+        d3 = up(d2, x1, nf * 2, "up3")
+        d4 = up(d3, x0, nf, "up4")
+
+        out = lr(sn(nf, 3, 1, 1, "final_0")(d4, update_stats))
+        out = sn(1, 3, 1, 1, "final_1")(out, update_stats)
+        return out
+
+
+class UNetDiscriminatorSNHAT(nn.Module):
+    num_in_ch: int = 1
+    num_feat: int = 64
+    skip_connection: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, update_stats: bool = False) -> jnp.ndarray:
+        nf = self.num_feat
+        lr = lambda t: leaky_relu(t, 0.2)  # noqa: E731
+        sn = lambda f, k, s, p, name: SNConv2d(  # noqa: E731
+            f, k, s, p, use_bias=False, dtype=self.dtype, name=name
+        )
+
+        x0 = lr(Conv2d(nf, 3, 1, 1, dtype=self.dtype, name="conv0")(x))
+        x1 = lr(sn(nf * 2, 4, 2, 1, "conv1")(x0, update_stats))
+        x2 = lr(sn(nf * 4, 4, 2, 1, "conv2")(x1, update_stats))
+        x3 = lr(sn(nf * 8, 4, 2, 1, "conv3")(x2, update_stats))
+
+        x3u = interpolate_bilinear(x3, (x3.shape[1] * 2, x3.shape[2] * 2), align_corners=False)
+        x4 = lr(sn(nf * 4, 3, 1, 1, "conv4")(x3u, update_stats))
+        if self.skip_connection:
+            x4 = x4 + x2
+        x4u = interpolate_bilinear(x4, (x4.shape[1] * 2, x4.shape[2] * 2), align_corners=False)
+        x5 = lr(sn(nf * 2, 3, 1, 1, "conv5")(x4u, update_stats))
+        if self.skip_connection:
+            x5 = x5 + x1
+        x5u = interpolate_bilinear(x5, (x5.shape[1] * 2, x5.shape[2] * 2), align_corners=False)
+        x6 = lr(sn(nf, 3, 1, 1, "conv6")(x5u, update_stats))
+        if self.skip_connection:
+            x6 = x6 + x0
+
+        out = lr(sn(nf, 3, 1, 1, "conv7")(x6, update_stats))
+        out = lr(sn(nf, 3, 1, 1, "conv8")(out, update_stats))
+        out = Conv2d(1, 3, 1, 1, dtype=self.dtype, name="conv9")(out)
+        return out

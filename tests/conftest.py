@@ -6,12 +6,18 @@ multi-chip sharding tests run against 8 virtual CPU devices (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# Keep compile caches warm between runs.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The machine's sitecustomize registers the axon TPU plugin at interpreter
+# start and force-sets jax_platforms="axon,cpu" — override it back to CPU
+# so tests are deterministic fp32 and the 8-device virtual mesh exists.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
