@@ -1,0 +1,34 @@
+"""16-bit grayscale TIFF IO (PIL 'I;16'), matching the reference's format.
+
+The reference reads pairs with PIL and converts ``float32 / 65535.0``
+(astronomical_dataset_swin.py:30-35) and writes SR outputs the same way
+(infer_swin.py:32-37). Decoding here returns raw uint16 — the /65535
+normalization is fused into the on-device step (see pipeline.py) so the
+host→device transfer is 2 bytes/px instead of 4.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def read_tiff_u16(path: str | Path) -> np.ndarray:
+    """Read a 16-bit grayscale TIFF to (H, W) uint16."""
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.dtype == np.int32:  # PIL decodes I;16 as mode 'I' on some paths
+        arr = arr.astype(np.uint16)
+    elif arr.dtype != np.uint16:
+        arr = np.clip(np.asarray(arr, dtype=np.float64), 0, 65535).astype(np.uint16)
+    return arr
+
+
+def write_tiff_u16(path: str | Path, img01: np.ndarray) -> None:
+    """Write a [0,1] float image as 16-bit TIFF (reference save_tiff_16bit)."""
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    arr = np.clip(np.asarray(img01, dtype=np.float64), 0.0, 1.0)
+    u16 = (arr * 65535.0).astype(np.uint16)
+    Image.fromarray(u16).save(str(path))  # uint16 -> PIL mode 'I;16'

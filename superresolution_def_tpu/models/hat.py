@@ -64,7 +64,7 @@ class ChannelAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = jnp.mean(x, axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d(1)
-        y = Conv2d(self.num_feat // self.squeeze_factor, 1, dtype=self.dtype, name="ca_fc1")(y)
+        y = Conv2d(max(1, self.num_feat // self.squeeze_factor), 1, dtype=self.dtype, name="ca_fc1")(y)
         y = jax.nn.relu(y)
         y = Conv2d(self.num_feat, 1, dtype=self.dtype, name="ca_fc2")(y)
         return x * jax.nn.sigmoid(y)
@@ -80,7 +80,7 @@ class CAB(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = Conv2d(self.num_feat // self.compress_ratio, 3, padding=1, dtype=self.dtype, name="conv1")(x)
+        y = Conv2d(max(1, self.num_feat // self.compress_ratio), 3, padding=1, dtype=self.dtype, name="conv1")(x)
         y = gelu(y)
         y = Conv2d(self.num_feat, 3, padding=1, dtype=self.dtype, name="conv2")(y)
         return ChannelAttention(self.num_feat, self.squeeze_factor, dtype=self.dtype, name="ca")(y)

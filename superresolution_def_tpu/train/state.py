@@ -1,0 +1,160 @@
+"""Train state for the two-network GAN engine.
+
+One pytree holds everything the reference spreads across DDP modules,
+optimizers, GradScaler and ModelEMA (train_swin.py:147-169): generator and
+discriminator params, both AdamW states, the EMA shadow, and the
+discriminator's spectral power-iteration vectors. fp32 master params; the
+compute dtype is a model property (bf16 on TPU replaces CUDA AMP — no loss
+scaler is needed because bf16 has fp32's exponent range).
+
+Optimizers are optax.adamw wrapped in inject_hyperparams so the per-epoch
+cosine LR (schedule.py) is set functionally inside the jitted step.
+Reference optimizer configs:
+  - swin: AdamW(lr=1e-4, betas=(0.9, 0.99), weight_decay=0) for G and D
+    (train_swin.py:160-161).
+  - hat: AdamW(lr=1e-4, betas=(0.9, 0.99)) — torch's DEFAULT weight_decay
+    0.01 applies (train_hat.py:152-153); replicated deliberately.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models import (
+    SwinIR,
+    HybridHATRealESRGAN,
+    UNetDiscriminatorSNSwin,
+    UNetDiscriminatorSNHAT,
+)
+from .ema import ema_init
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+    ema: Any
+    spectral: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class GANBundle:
+    """Static (non-pytree) companions of a GANTrainState."""
+
+    g_apply: Callable
+    d_apply: Callable
+    g_tx: optax.GradientTransformation
+    d_tx: optax.GradientTransformation
+    g_module: Any = None
+    d_module: Any = None
+
+
+def _adamw(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=lr, b1=0.9, b2=0.99, eps=1e-8, weight_decay=weight_decay
+    )
+
+
+def _make_state(rng, g_module, d_module, lr_size, hr_size, g_wd, d_wd):
+    kg, kd, ks = jax.random.split(rng, 3)
+    lr_dummy = jnp.zeros((1, lr_size, lr_size, 1), jnp.float32)
+    hr_dummy = jnp.zeros((1, hr_size, hr_size, 1), jnp.float32)
+    g_vars = g_module.init(kg, lr_dummy)
+    d_vars = d_module.init(kd, hr_dummy)
+    g_params = g_vars["params"]
+    d_params = d_vars["params"]
+    spectral = d_vars.get("spectral", {})
+
+    g_tx = _adamw(1e-4, g_wd)
+    d_tx = _adamw(1e-4, d_wd)
+    state = GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params),
+        ema=ema_init(g_params),
+        spectral=spectral,
+        rng=ks,
+    )
+    bundle = GANBundle(
+        g_apply=g_module.apply,
+        d_apply=d_module.apply,
+        g_tx=g_tx,
+        d_tx=d_tx,
+        g_module=g_module,
+        d_module=d_module,
+    )
+    return state, bundle
+
+
+def create_swin_train_state(
+    rng: jax.Array,
+    *,
+    img_size: int = 128,
+    upscale: int = 4,
+    embed_dim: int = 180,
+    depths=(6,) * 6,
+    num_heads=(6,) * 6,
+    window_size: int = 8,
+    mlp_ratio: float = 2.0,
+    dtype=jnp.float32,
+    attn_impl: str | None = None,
+):
+    """Reference swin train config (train_swin.py:147-156)."""
+    g = SwinIR(
+        img_size=img_size,
+        in_chans=1,
+        embed_dim=embed_dim,
+        depths=tuple(depths),
+        num_heads=tuple(num_heads),
+        window_size=window_size,
+        mlp_ratio=mlp_ratio,
+        upscale=upscale,
+        dtype=dtype,
+        attn_impl=attn_impl,
+    )
+    d = UNetDiscriminatorSNSwin(num_in_ch=1, num_feat=64, dtype=dtype)
+    return _make_state(rng, g, d, img_size, img_size * upscale, g_wd=0.0, d_wd=0.0)
+
+
+def create_hat_train_state(
+    rng: jax.Array,
+    *,
+    img_size: int = 128,
+    embed_dim: int = 90,
+    depths=(6, 6, 6, 6),
+    num_heads=(6, 6, 6, 6),
+    window_size: int = 8,
+    num_rrdb: int = 12,
+    num_feat: int = 48,
+    num_grow_ch: int = 24,
+    dtype=jnp.float32,
+    attn_impl: str | None = None,
+):
+    """Reference 'Soft' hybrid config (train_hat.py:132-136)."""
+    g = HybridHATRealESRGAN(
+        img_size=img_size,
+        in_chans=1,
+        embed_dim=embed_dim,
+        depths=tuple(depths),
+        num_heads=tuple(num_heads),
+        window_size=window_size,
+        upscale=4,
+        num_rrdb=num_rrdb,
+        num_feat=num_feat,
+        num_grow_ch=num_grow_ch,
+        dtype=dtype,
+        attn_impl=attn_impl,
+    )
+    d = UNetDiscriminatorSNHAT(num_in_ch=1, num_feat=64, dtype=dtype)
+    return _make_state(rng, g, d, img_size, img_size * 4, g_wd=0.01, d_wd=0.01)

@@ -1,0 +1,75 @@
+"""Data-parallel tests on the 8-device virtual CPU mesh (conftest forces it)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from superresolution_def_tpu.parallel import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    sync_metrics,
+)
+from superresolution_def_tpu.train import (
+    create_swin_train_state,
+    make_swin_train_step,
+    cosine_annealing_lr,
+)
+
+
+def _batch(accum, b, lr_size, hr_size, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "lr": rng.integers(0, 65535, (accum, b, lr_size, lr_size, 1), dtype=np.uint16),
+        "hr": rng.integers(0, 65535, (accum, b, hr_size, hr_size, 1), dtype=np.uint16),
+    }
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_step_runs_sharded_and_matches_single_device():
+    mesh = make_mesh()
+    state, bundle = create_swin_train_state(
+        jax.random.PRNGKey(0),
+        img_size=16,
+        upscale=4,
+        embed_dim=16,
+        depths=(2,),
+        num_heads=(2,),
+        window_size=8,
+    )
+    step = make_swin_train_step(bundle, accum_steps=2, augment=False)
+    batch = _batch(2, 8, 16, 64)
+    lr = cosine_annealing_lr(1)
+
+    # single-device reference
+    s_ref, m_ref = step(state, batch, lr, lr)
+
+    # sharded: state replicated, batch sharded over micro-batch axis
+    state_dp = replicate(state, mesh)
+    batch_dp = shard_batch(batch, mesh, batch_axis=1)
+    s_dp, m_dp = step(state_dp, batch_dp, lr, lr)
+
+    # params stay replicated (no per-shard divergence)
+    leaf = jax.tree_util.tree_leaves(s_dp.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    np.testing.assert_allclose(
+        float(m_dp["loss_g"]), float(m_ref["loss_g"]), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_dp["loss_d"]), float(m_ref["loss_d"]), rtol=2e-4, atol=2e-5
+    )
+    # updated params equal up to cross-device reduction order
+    ref_leaves = jax.tree_util.tree_leaves(s_ref.g_params)
+    dp_leaves = jax.tree_util.tree_leaves(s_dp.g_params)
+    for a, b in zip(ref_leaves, dp_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5)
+
+
+def test_sync_metrics_single_host_passthrough():
+    out = sync_metrics({"psnr_sum": jnp.asarray(4.0), "count": 2})
+    assert out == {"psnr_sum": 4.0, "count": 2.0}
