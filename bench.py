@@ -1,0 +1,108 @@
+"""Benchmark: SwinIR x4 128->512 inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "patches/s", "vs_baseline": N}
+
+Config = BASELINE.json config #1 / north-star metric (SR patches/sec/chip,
+x4 128->512, flagship SwinIR at the reference train config,
+train_swin.py:147-149). vs_baseline compares against the torch reference's
+own implementation measured on this host's CPU (BENCH_BASELINE.json — the
+reference publishes no numbers and no CUDA device exists here).
+
+Flags:
+  --arch {swin,hat}   model family (default swin)
+  --batch N           patches per device call (default 8)
+  --dtype {bf16,f32}  compute dtype (default bf16 — TPU-native)
+  --impl {xla,pallas} window-attention implementation (default xla)
+  --iters N           timed iterations (default 20)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", default="swin", choices=["swin", "hat"])
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    if args.arch == "swin":
+        from superresolution_def_tpu.models import SwinIR
+
+        model = SwinIR(
+            img_size=128, in_chans=1, embed_dim=180, depths=(6,) * 6,
+            num_heads=(6,) * 6, window_size=8, mlp_ratio=2.0, upscale=4,
+            dtype=dtype, attn_impl=args.impl,
+        )
+        metric = "swinir_x4_128to512_patches_per_sec_per_chip"
+
+        def apply_fn(params, x):
+            return model.apply({"params": params}, x)
+    else:
+        from superresolution_def_tpu.models import HybridHATRealESRGAN
+
+        model = HybridHATRealESRGAN(
+            img_size=128, in_chans=1, embed_dim=90, depths=(6, 6, 6, 6),
+            num_heads=(6, 6, 6, 6), window_size=8, upscale=4,
+            num_rrdb=12, num_feat=48, num_grow_ch=24,
+            dtype=dtype, attn_impl=args.impl,
+        )
+        metric = "hat_hybrid_x4_128to512_patches_per_sec_per_chip"
+
+        def apply_fn(params, x):
+            return model.apply({"params": params}, x, True)
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 128, 128, 1), jnp.float32))["params"]
+    fn = jax.jit(apply_fn)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((args.batch, 128, 128, 1), np.float32)
+    )
+    fn(params, x).block_until_ready()  # compile
+    # Block every call: on the axon tunnel, blocking only on the last queued
+    # call under-reports wall time by orders of magnitude.
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        fn(params, x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    patches_per_sec = args.batch / dt
+
+    try:
+        baseline = json.load(open("BENCH_BASELINE.json"))[
+            "torch_cpu_swinir_x4_patches_per_sec"
+        ]
+        vs = patches_per_sec / baseline
+    except Exception:
+        vs = None
+
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(patches_per_sec, 3),
+                "unit": "patches/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

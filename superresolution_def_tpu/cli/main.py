@@ -1,0 +1,234 @@
+"""`sr` command-line entry — flag-driven or interactive, mirroring the
+reference launchers (start_swin.py / start_hat.py / infer_*.py pickers).
+
+Subcommands:
+  sr split  --data-root data [--target T]        (prepare_data.py)
+  sr train  --arch {swin,hat} --target M1,M33    (start_* + train_*)
+  sr infer  --arch {swin,hat} [--folder RUN]     (infer_*)
+  sr bench  [...]                                (bench.py passthrough)
+
+Interactive mode (no --target / --folder): scans
+data/*/8_dataset_split/splits_json/train.json for valid targets
+(start_swin.py:15-25) or outputs/* for run folders (infer_swin.py:159-183)
+and prompts with numbered menus. Devices need no menu — the mesh uses every
+chip in the slice (the GPU picker + CUDA_VISIBLE_DEVICES/NCCL env plumbing
+of start_swin.py:27-34,131-135 has no TPU equivalent by design).
+
+Usage: python -m superresolution_def_tpu.cli.main <subcommand> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def get_available_targets(data_root: str) -> list[str]:
+    """Targets with a train split (start_swin.py:15-25)."""
+    out = []
+    for d in sorted(Path(data_root).glob("*")):
+        if (d / "8_dataset_split" / "splits_json" / "train.json").exists():
+            out.append(d.name)
+    return out
+
+
+def _pick_from(items: list[str], what: str, multi: bool = False) -> list[str]:
+    if not items:
+        sys.exit(f"No {what} found.")
+    print(f"Available {what}:")
+    for i, t in enumerate(items, 1):
+        print(f"  [{i}] {t}")
+    raw = input(f"Select {what}" + (" (comma-separated or 'all')" if multi else "") + ": ").strip()
+    if multi and raw.lower() == "all":
+        return items
+    idxs = [int(x) - 1 for x in raw.split(",")]
+    return [items[i] for i in idxs] if multi else [items[idxs[0]]]
+
+
+def cmd_split(args) -> None:
+    from ..prep.splits import prepare_full_dataset
+
+    targets = args.target.split(",") if args.target else get_available_pair_targets(args.data_root)
+    for t in targets:
+        prepare_full_dataset(Path(args.data_root) / t)
+
+
+def cmd_prep(args) -> None:
+    """Run dataset prep steps 1-4 for each target (misc/Dataset_step*)."""
+    from ..prep import (
+        process_step1_folder,
+        main_registration,
+        mosaic_check,
+        extract_patches,
+        normalize_target,
+    )
+
+    steps = set((args.steps or "1,2,3,4").split(","))
+    targets = args.target.split(",") if args.target else [
+        p.name for p in sorted(Path(args.data_root).glob("*")) if (p / "1_originarie").exists()
+    ]
+    for t in targets:
+        root = Path(args.data_root) / t
+        orig = root / "1_originarie"
+        solved_o = root / "2_solved_astap" / "observatory"
+        solved_h = root / "2_solved_astap" / "hubble"
+        reg_o = root / "3_registered_native" / "observatory"
+        reg_h = root / "3_registered_native" / "hubble"
+        if "1" in steps:
+            process_step1_folder(orig / "local_raw", solved_o)
+            process_step1_folder(orig / "img_lights", solved_h)
+            main_registration(solved_h, solved_o, reg_h, reg_o)
+        if "2" in steps:
+            mosaic_check(
+                reg_h, reg_o, root / "4_quality_check" / f"{t}_mosaic_check.png",
+                target_name=t,
+            )
+        if "3" in steps:
+            extract_patches(
+                reg_h, reg_o, root / "6_patches_final",
+                target_name=t, desired_count=args.desired_count,
+            )
+        if "4" in steps:
+            normalize_target(root / "6_patches_final", root / "7_dataset_ready_LOG")
+
+
+def get_available_pair_targets(data_root: str) -> list[str]:
+    out = []
+    for d in sorted(Path(data_root).glob("*")):
+        if (d / "7_dataset_ready_LOG").exists() or (d / "7_dataset_ready").exists():
+            out.append(d.name)
+    return out
+
+
+def cmd_train(args) -> None:
+    from .trainers import (
+        SwinTrainConfig,
+        HATTrainConfig,
+        train_swin_run,
+        train_hat_run,
+    )
+
+    if args.target:
+        targets = args.target.split(",")
+    else:
+        targets = _pick_from(get_available_targets(args.data_root), "targets", multi=True)
+
+    common = dict(
+        targets=tuple(targets),
+        data_root=args.data_root,
+        outputs_root=args.outputs_root,
+        epochs=args.epochs,
+        use_bf16=args.bf16,
+        attn_impl=args.attn_impl,
+        use_vgg=not args.no_vgg,
+        vgg_weights=args.vgg_weights,
+        seed=args.seed,
+        max_steps_per_epoch=args.max_steps_per_epoch,
+    )
+    if args.img_size:
+        common["img_size"] = args.img_size
+    if args.embed_dim:
+        common["embed_dim"] = args.embed_dim
+    if args.depths:
+        d = [int(x) for x in args.depths.split(",")]
+        common["depths"] = tuple(d)
+        common["num_heads"] = tuple([args.num_heads] * len(d))
+    if args.arch == "swin":
+        cfg = SwinTrainConfig(**common)
+        if args.batch_size:
+            cfg.batch_size = args.batch_size
+        train_swin_run(cfg, resume=not args.no_resume)
+    else:
+        cfg = HATTrainConfig(**common)
+        if args.batch_size:
+            cfg.batch_size = args.batch_size
+        train_hat_run(cfg, resume=not args.no_resume)
+
+
+def cmd_infer(args) -> None:
+    from .infer import run_test
+
+    if args.folder:
+        folder = args.folder
+    else:
+        runs = sorted(str(p) for p in Path(args.outputs_root).glob("*") if p.is_dir())
+        folder = _pick_from(runs, "run folders")[0]
+    result = run_test(
+        folder,
+        args.arch,
+        data_root=args.data_root,
+        limit=args.limit,
+        manifest=args.manifest,
+    )
+    print(
+        f"Test: {result['num_images']} images  "
+        f"PSNR={result['psnr']:.2f} dB  SSIM={result['ssim']:.4f}"
+    )
+
+
+def cmd_bench(args, extra) -> None:
+    import subprocess
+
+    sys.exit(subprocess.call([sys.executable, "bench.py", *extra]))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="sr", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("split", help="build 80/10/10 split manifests")
+    ps.add_argument("--data-root", default="data")
+    ps.add_argument("--target", default=None)
+
+    pp = sub.add_parser("prep", help="dataset prep steps 1-4 (solve/register/QC/patches/normalize)")
+    pp.add_argument("--data-root", default="data")
+    pp.add_argument("--target", default=None)
+    pp.add_argument("--steps", default=None, help="comma subset of 1,2,3,4")
+    pp.add_argument("--desired-count", type=int, default=None)
+
+    pt = sub.add_parser("train", help="train a generator")
+    pt.add_argument("--arch", choices=["swin", "hat"], default="swin")
+    pt.add_argument("--target", default=None, help="comma-separated targets")
+    pt.add_argument("--data-root", default="data")
+    pt.add_argument("--outputs-root", default="outputs")
+    pt.add_argument("--epochs", type=int, default=300)
+    pt.add_argument("--batch-size", type=int, default=None)
+    pt.add_argument("--bf16", action="store_true")
+    pt.add_argument("--attn-impl", choices=["xla", "pallas"], default=None)
+    pt.add_argument("--no-vgg", action="store_true")
+    pt.add_argument("--vgg-weights", default=None)
+    pt.add_argument("--no-resume", action="store_true")
+    pt.add_argument("--seed", type=int, default=0)
+    # model/config knobs (reference hardcodes these; SURVEY.md §5 config)
+    pt.add_argument("--img-size", type=int, default=None)
+    pt.add_argument("--embed-dim", type=int, default=None)
+    pt.add_argument("--depths", default=None, help="comma list, e.g. 6,6,6,6,6,6")
+    pt.add_argument("--num-heads", type=int, default=6)
+    pt.add_argument("--max-steps-per-epoch", type=int, default=None)
+
+    pi = sub.add_parser("infer", help="evaluate a trained run on its test split")
+    pi.add_argument("--arch", choices=["swin", "hat"], default="swin")
+    pi.add_argument("--folder", default=None)
+    pi.add_argument("--data-root", default="data")
+    pi.add_argument("--outputs-root", default="outputs")
+    pi.add_argument("--limit", type=int, default=None)
+    pi.add_argument("--manifest", default=None)
+
+    sub.add_parser("bench", help="run bench.py (extra flags passed through)")
+
+    args, extra = p.parse_known_args(argv)
+    if args.cmd == "split":
+        cmd_split(args)
+    elif args.cmd == "prep":
+        cmd_prep(args)
+    elif args.cmd == "train":
+        cmd_train(args)
+    elif args.cmd == "infer":
+        cmd_infer(args)
+    elif args.cmd == "bench":
+        cmd_bench(args, extra)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,15 @@ import numpy as np
 
 from .manifest import ManifestEntry
 from .tiff import read_tiff_u16
+from . import fast_tiff
 
 
 class PatchDataset:
-    """Decodes manifest entries to {'lr': (h,w,1), 'hr': (H,W,1)} uint16."""
+    """Decodes manifest entries to {'lr': (h,w,1), 'hr': (H,W,1)} uint16.
+
+    Decode order: native C++ decoder (native/tifffast.cpp, zero Python
+    overhead) -> PIL fallback per file.
+    """
 
     def __init__(
         self,
@@ -39,27 +44,52 @@ class PatchDataset:
         lr_size: int = 128,
         hr_size: int = 512,
         strict: bool = False,
+        use_native: bool = True,
     ):
         self.entries = list(entries)
         self.lr_size = lr_size
         self.hr_size = hr_size
         self.strict = strict
+        self.use_native = use_native and fast_tiff.native_available()
 
     def __len__(self) -> int:
         return len(self.entries)
 
+    def _read_one(self, path: str, size: int) -> np.ndarray:
+        if self.use_native:
+            arr = fast_tiff.read_tiff_u16_native(path, size, size)
+            if arr is not None:
+                return arr
+        arr = read_tiff_u16(path)
+        if arr.shape != (size, size):
+            raise ValueError(f"{path}: bad shape {arr.shape}, want {(size, size)}")
+        return arr
+
     def _read(self, idx: int) -> dict[str, np.ndarray]:
         e = self.entries[idx]
-        hr = read_tiff_u16(e.hubble_path)
-        lr = read_tiff_u16(e.ground_path)
-        if hr.shape != (self.hr_size, self.hr_size) or lr.shape != (
-            self.lr_size,
-            self.lr_size,
-        ):
-            raise ValueError(
-                f"{e.patch_id}: bad shapes hr={hr.shape} lr={lr.shape}"
-            )
+        hr = self._read_one(e.hubble_path, self.hr_size)
+        lr = self._read_one(e.ground_path, self.lr_size)
         return {"lr": lr[..., None], "hr": hr[..., None]}
+
+    def read_batch(self, idxs, nthreads: int = 8) -> dict[str, np.ndarray]:
+        """Batch decode via the native thread pool; PIL-fallback per miss."""
+        idxs = list(idxs)
+        if self.use_native:
+            hr_paths = [self.entries[i].hubble_path for i in idxs]
+            lr_paths = [self.entries[i].ground_path for i in idxs]
+            hr_res = fast_tiff.read_batch_u16(hr_paths, self.hr_size, self.hr_size, nthreads)
+            lr_res = fast_tiff.read_batch_u16(lr_paths, self.lr_size, self.lr_size, nthreads)
+            if hr_res is not None and lr_res is not None:
+                hr_b, hr_st = hr_res
+                lr_b, lr_st = lr_res
+                for j, i in enumerate(idxs):  # per-file fallback/substitution
+                    if hr_st[j] != 0 or lr_st[j] != 0:
+                        item = self[i]
+                        hr_b[j] = item["hr"][..., 0]
+                        lr_b[j] = item["lr"][..., 0]
+                return {"lr": lr_b[..., None], "hr": hr_b[..., None]}
+        items = [self[i] for i in idxs]
+        return {k: np.stack([it[k] for it in items]) for k in ("lr", "hr")}
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         # Reference behavior: substitute another sample on unreadable files
@@ -142,16 +172,22 @@ class DataIterator:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_threads) as pool:
+            if self.ds.use_native:
                 for b in range(nb):
                     if stop.is_set():
                         break
                     chunk = idxs[b * self.batch : (b + 1) * self.batch]
-                    items = list(pool.map(self.ds.__getitem__, chunk))
-                    batch = {
-                        k: np.stack([it[k] for it in items]) for k in ("lr", "hr")
-                    }
-                    out_q.put(batch)
+                    out_q.put(self.ds.read_batch(chunk, nthreads=self.num_threads))
+            else:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for b in range(nb):
+                        if stop.is_set():
+                            break
+                        chunk = idxs[b * self.batch : (b + 1) * self.batch]
+                        items = list(pool.map(self.ds.__getitem__, chunk))
+                        out_q.put(
+                            {k: np.stack([it[k] for it in items]) for k in ("lr", "hr")}
+                        )
             out_q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)

@@ -47,7 +47,9 @@ def unwrap_state_dict(obj: Any) -> dict[str, Any]:
 def _np(v) -> np.ndarray:
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v)
+    # copy: torch .numpy() aliases live tensor memory — in-place updates
+    # (e.g. spectral-norm power iteration) would silently mutate the port
+    return np.array(v)
 
 
 def conv_w(sd: StateDict, key: str) -> np.ndarray:
@@ -188,8 +190,10 @@ def _cab(sd, prefix):
     return {
         "conv1": _conv(sd, prefix + ".cab.0"),
         "conv2": _conv(sd, prefix + ".cab.2"),
-        "ca_fc1": _conv(sd, prefix + ".cab.3.attention.1"),
-        "ca_fc2": _conv(sd, prefix + ".cab.3.attention.3"),
+        "ca": {
+            "ca_fc1": _conv(sd, prefix + ".cab.3.attention.1"),
+            "ca_fc2": _conv(sd, prefix + ".cab.3.attention.3"),
+        },
     }
 
 
@@ -283,6 +287,8 @@ def _sn_conv(sd, prefix, transpose=False):
         p["bias"] = vec(sd, prefix + ".bias")
     if prefix + ".weight_u" in sd:
         p["u"] = vec(sd, prefix + ".weight_u")
+    if prefix + ".weight_v" in sd:
+        p["v"] = vec(sd, prefix + ".weight_v")
     return p
 
 
@@ -292,11 +298,15 @@ def discriminator_swin_from_torch(sd: StateDict) -> tuple[dict, dict]:
     sn_state: dict[str, Any] = {}
 
     def put(name, prefix, transpose=False):
+        # SNConv2d keeps kernel/bias directly on the module (no nn.Conv child)
         p = _sn_conv(sd, prefix, transpose)
         u = p.pop("u", None)
-        params[name] = {"conv": p}
+        v = p.pop("v", None)
+        params[name] = p
         if u is not None:
             sn_state[name] = {"u": u}
+            if v is not None:
+                sn_state[name]["v"] = v
 
     put("conv0_0", "conv0.0")
     put("conv0_1", "conv0.2")
@@ -314,14 +324,21 @@ def discriminator_hat_from_torch(sd: StateDict) -> tuple[dict, dict]:
     params: dict[str, Any] = {}
     sn_state: dict[str, Any] = {}
     # conv0 and conv9 are NOT spectral-normed in the reference
+    # conv0/conv9 are plain Conv2d modules (inner nn.Conv named 'conv');
+    # conv1..conv8 are SNConv2d with direct kernel params.
     params["conv0"] = {"conv": _sn_conv(sd, "conv0")}
     params["conv0"]["conv"].pop("u", None)
+    params["conv0"]["conv"].pop("v", None)
     for i in range(1, 9):
         p = _sn_conv(sd, f"conv{i}")
         u = p.pop("u", None)
-        params[f"conv{i}"] = {"conv": p}
+        v = p.pop("v", None)
+        params[f"conv{i}"] = p
         if u is not None:
             sn_state[f"conv{i}"] = {"u": u}
+            if v is not None:
+                sn_state[f"conv{i}"]["v"] = v
     params["conv9"] = {"conv": _sn_conv(sd, "conv9")}
     params["conv9"]["conv"].pop("u", None)
+    params["conv9"]["conv"].pop("v", None)
     return params, sn_state

