@@ -21,9 +21,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeat bench runs skip the multi-minute
+# remote compile (must be set before jax initializes)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def main() -> None:
@@ -68,20 +74,32 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jnp.zeros((1, 128, 128, 1), jnp.float32))["params"]
-    fn = jax.jit(apply_fn)
+
+    # Chained timing: each forward's input depends on the previous output,
+    # all inside ONE fori_loop dispatch. Per-call RPC timing over the axon
+    # tunnel is unreliable in both directions (dispatch latency inflates
+    # small calls; queue pipelining hides real work), so N model executions
+    # are fused into a single device program and timed end-to-end.
+    n_chain = max(4, args.iters)
+
+    @jax.jit
+    def chained(x):
+        def body(_, c):
+            out = apply_fn(params, c)
+            return (out[:, ::4, ::4, :] * 0.999 + 1e-4).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n_chain, body, x)
 
     x = jnp.asarray(
         np.random.default_rng(0).random((args.batch, 128, 128, 1), np.float32)
     )
-    fn(params, x).block_until_ready()  # compile
-    # Block every call: on the axon tunnel, blocking only on the last queued
-    # call under-reports wall time by orders of magnitude.
+    chained(x).block_until_ready()  # compile
     times = []
-    for _ in range(args.iters):
+    for _ in range(3):
         t0 = time.perf_counter()
-        fn(params, x).block_until_ready()
+        chained(x).block_until_ready()
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times) / n_chain
     patches_per_sec = args.batch / dt
 
     try:

@@ -181,12 +181,19 @@ def tiled_sr(
     tile: int = 128,
     overlap: int = 16,
     scale: int = 4,
+    mesh=None,
+    batch_tiles: int = 8,
 ) -> np.ndarray:
     """SR an arbitrarily large (H, W) or (H, W, 1) image by overlap-blending.
 
     Tiles of `tile` x `tile` with `overlap` halo are batched through the
     jitted generator (one compile, MXU-friendly fixed shapes) and blended
     with a linear feather in the overlap bands.
+
+    Pass a ``jax.sharding.Mesh`` to spread the tile batch across every chip
+    (params replicated, tiles sharded) — the framework's big-frame spatial
+    scaling: window attention is local, so tiles are embarrassingly parallel
+    and each chip SRs its share of the frame (SURVEY.md §5 long-context).
     """
     x = np.asarray(img01, np.float32)
     if x.ndim == 2:
@@ -209,16 +216,25 @@ def tiled_sr(
 
     tiles = np.stack([x[y : y + tile, xx : xx + tile] for y in ys for xx in xs])
     fn = jax.jit(apply_fn)
+    shard_in = None
+    bs = batch_tiles
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.devices.size
+        bs = max(bs, ndev) // ndev * ndev  # divisible tile batches
+        shard_in = NamedSharding(mesh, P(mesh.axis_names[0]))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
     outs = []
-    bs = 8
     for i in range(0, len(tiles), bs):
         chunk = tiles[i : i + bs]
-        if len(chunk) < bs:  # pad batch to keep one compiled shape
-            pad = np.repeat(chunk[-1:], bs - len(chunk), axis=0)
-            out = np.asarray(fn(params, jnp.asarray(np.concatenate([chunk, pad]))))
-            outs.append(out[: len(chunk)])
-        else:
-            outs.append(np.asarray(fn(params, jnp.asarray(chunk))))
+        n_real = len(chunk)
+        if n_real < bs:  # pad batch to keep one compiled shape
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n_real, axis=0)])
+        xin = jnp.asarray(chunk)
+        if shard_in is not None:
+            xin = jax.device_put(xin, shard_in)
+        outs.append(np.asarray(fn(params, xin))[:n_real])
     sr_tiles = np.concatenate(outs)
 
     # linear feather blending; strictly positive so image-border pixels

@@ -20,8 +20,14 @@ Usage: python -m superresolution_def_tpu.cli.main <subcommand> ...
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
+
+# persistent XLA compilation cache (set before jax initializes): repeated
+# train/infer invocations skip the multi-minute remote compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def get_available_targets(data_root: str) -> list[str]:
@@ -167,6 +173,35 @@ def cmd_infer(args) -> None:
     )
 
 
+def cmd_upscale(args) -> None:
+    """SR an arbitrary-size image (16-bit TIFF or FITS) with tiled inference."""
+    import numpy as np
+    from .infer import load_generator, tiled_sr
+    from ..data.tiff import read_tiff_u16, write_tiff_u16
+    from ..parallel import make_mesh
+
+    src = Path(args.image)
+    if src.suffix.lower() in (".fits", ".fit", ".fts"):
+        from ..prep import read_fits
+        from ..ops.normalize import robust_minmax, log_stretch_normalize
+
+        raw = np.nan_to_num(read_fits(src).data)
+        lo, hi = robust_minmax(raw)
+        img01 = np.asarray(log_stretch_normalize(raw, lo, hi))
+    else:
+        img01 = read_tiff_u16(src).astype(np.float32) / 65535.0
+
+    apply_fn, params, info = load_generator(args.folder, args.arch)
+    mesh = make_mesh() if args.mesh else None
+    sr = tiled_sr(
+        apply_fn, params, img01,
+        tile=args.tile, overlap=args.overlap, scale=4, mesh=mesh,
+    )
+    out = args.out or str(src.with_suffix("")) + "_sr.tiff"
+    write_tiff_u16(out, sr[..., 0])
+    print(f"{src} {img01.shape} -> {out} {sr.shape[:2]}  [ckpt: {info['source']}]")
+
+
 def cmd_bench(args, extra) -> None:
     import subprocess
 
@@ -215,6 +250,15 @@ def main(argv=None) -> None:
     pi.add_argument("--limit", type=int, default=None)
     pi.add_argument("--manifest", default=None)
 
+    pu = sub.add_parser("upscale", help="tiled x4 SR of an arbitrary-size TIFF/FITS image")
+    pu.add_argument("image")
+    pu.add_argument("--folder", required=True, help="trained run folder (checkpoint source)")
+    pu.add_argument("--arch", choices=["swin", "hat"], default="swin")
+    pu.add_argument("--out", default=None)
+    pu.add_argument("--tile", type=int, default=128)
+    pu.add_argument("--overlap", type=int, default=16)
+    pu.add_argument("--mesh", action="store_true", help="shard tiles over all chips")
+
     sub.add_parser("bench", help="run bench.py (extra flags passed through)")
 
     args, extra = p.parse_known_args(argv)
@@ -226,6 +270,8 @@ def main(argv=None) -> None:
         cmd_train(args)
     elif args.cmd == "infer":
         cmd_infer(args)
+    elif args.cmd == "upscale":
+        cmd_upscale(args)
     elif args.cmd == "bench":
         cmd_bench(args, extra)
 

@@ -76,6 +76,8 @@ def extract_patches(
     hr_size: int = HR_SIZE,
     lr_size: int = AI_LR_SIZE,
     batch_patches: int = 64,
+    debug_dir: str | Path | None = None,
+    debug_samples: int = DEBUG_SAMPLES,
     log=print,
 ) -> int:
     """Extract aligned pairs; returns the number of pairs written."""
@@ -150,6 +152,14 @@ def extract_patches(
                     patch_o.astype(np.float32),
                     lr_wcs.to_header(),
                 )
+                if debug_dir is not None and idx < debug_samples:
+                    from .diagnostics import save_diagnostic_card
+
+                    save_diagnostic_card(
+                        Path(debug_dir) / f"pair_{idx:06d}_card.png",
+                        patch_h, patch_o, patch_wcs, lr_wcs,
+                        pair_name=f"pair_{idx:06d}",
+                    )
                 idx += 1
     log(f"[step3] wrote {idx} pairs")
     return idx

@@ -100,3 +100,19 @@ def test_tiled_sr_small_input_pads():
     assert out.shape == (40, 60, 1)
     ref = np.repeat(np.repeat(img[..., None], 2, axis=0), 2, axis=1)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_tiled_sr_mesh_parallel():
+    """Tile batch sharded across the 8-device CPU mesh, exact vs local op."""
+    from superresolution_def_tpu.parallel import make_mesh
+
+    def nearest4(params, x):
+        import jax.numpy as jnp
+
+        return jnp.repeat(jnp.repeat(x, 4, axis=1), 4, axis=2)
+
+    mesh = make_mesh()
+    img = np.random.default_rng(3).random((96, 96)).astype(np.float32)
+    out = tiled_sr(nearest4, {}, img, tile=48, overlap=8, scale=4, mesh=mesh)
+    ref = np.repeat(np.repeat(img[..., None], 4, axis=0), 4, axis=1)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
