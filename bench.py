@@ -35,11 +35,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="swin", choices=["swin", "hat"])
+    p.add_argument("--mode", default="infer", choices=["infer", "train"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--img-size", type=int, default=128, help="LR patch size (smoke runs)")
     args = p.parse_args()
+
+    if args.mode == "train":
+        bench_train(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -50,7 +56,7 @@ def main() -> None:
         from superresolution_def_tpu.models import SwinIR
 
         model = SwinIR(
-            img_size=128, in_chans=1, embed_dim=180, depths=(6,) * 6,
+            img_size=args.img_size, in_chans=1, embed_dim=180, depths=(6,) * 6,
             num_heads=(6,) * 6, window_size=8, mlp_ratio=2.0, upscale=4,
             dtype=dtype, attn_impl=args.impl,
         )
@@ -62,7 +68,7 @@ def main() -> None:
         from superresolution_def_tpu.models import HybridHATRealESRGAN
 
         model = HybridHATRealESRGAN(
-            img_size=128, in_chans=1, embed_dim=90, depths=(6, 6, 6, 6),
+            img_size=args.img_size, in_chans=1, embed_dim=90, depths=(6, 6, 6, 6),
             num_heads=(6, 6, 6, 6), window_size=8, upscale=4,
             num_rrdb=12, num_feat=48, num_grow_ch=24,
             dtype=dtype, attn_impl=args.impl,
@@ -73,7 +79,7 @@ def main() -> None:
             return model.apply({"params": params}, x, True)
 
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, jnp.zeros((1, 128, 128, 1), jnp.float32))["params"]
+    params = model.init(rng, jnp.zeros((1, args.img_size, args.img_size, 1), jnp.float32))["params"]
 
     # Chained timing: each forward's input depends on the previous output,
     # all inside ONE fori_loop dispatch. Per-call RPC timing over the axon
@@ -91,7 +97,7 @@ def main() -> None:
         return jax.lax.fori_loop(0, n_chain, body, x)
 
     x = jnp.asarray(
-        np.random.default_rng(0).random((args.batch, 128, 128, 1), np.float32)
+        np.random.default_rng(0).random((args.batch, args.img_size, args.img_size, 1), np.float32)
     )
     chained(x).block_until_ready()  # compile
     times = []
@@ -117,6 +123,70 @@ def main() -> None:
                 "value": round(patches_per_sec, 3),
                 "unit": "patches/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+def bench_train(args) -> None:
+    """GAN train-step throughput (BASELINE configs #3/#4), chained timing.
+
+    Reference configs: swin batch 2 x accum 4 (train_swin.py:36-37),
+    hat batch 1 x accum 16 (train_hat.py:32,39). VGG perceptual is omitted
+    (no pretrained weights in this image) — the pixel+adversarial phases,
+    both networks, spectral norm and EMA are all in the measured step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_def_tpu.train import (
+        create_swin_train_state,
+        create_hat_train_state,
+        make_swin_train_step,
+        make_hat_train_step,
+    )
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    size = args.img_size
+    if args.arch == "swin":
+        accum, micro = 4, args.batch if args.batch != 8 else 2
+        state, bundle = create_swin_train_state(
+            jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=args.impl
+        )
+        step = make_swin_train_step(bundle, accum_steps=accum)
+        run = lambda s, b: step(s, b, 1e-4, 1e-4)
+        metric = "swinir_gan_train_patches_per_sec_per_chip"
+    else:
+        accum, micro = 16, args.batch if args.batch != 8 else 1
+        state, bundle = create_hat_train_state(
+            jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=args.impl
+        )
+        step = make_hat_train_step(bundle, accum_steps=accum)
+        run = lambda s, b: step(s, b, 1e-4, 1e-4, warmup=False)
+        metric = "hat_gan_train_patches_per_sec_per_chip"
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "lr": rng.integers(0, 65535, (accum, micro, size, size, 1), dtype=np.uint16),
+        "hr": rng.integers(0, 65535, (accum, micro, size * 4, size * 4, 1), dtype=np.uint16),
+    }
+    state, _ = run(state, batch)  # compile
+    jax.block_until_ready(state)
+    n = max(3, args.iters // 4)
+    t0 = time.perf_counter()
+    for _ in range(n):  # state feeds back -> chained, can't be pipelined away
+        state, m = run(state, batch)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / n
+    pps = accum * micro / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(pps, 3),
+                "unit": "patches/s",
+                "vs_baseline": None,
             }
         )
     )

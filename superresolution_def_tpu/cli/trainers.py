@@ -165,6 +165,12 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
 
     micro = cfg.batch_size * ndev
     per_step = micro * cfg.accum_steps
+    if len(train_ds) < per_step:
+        raise ValueError(
+            f"train split has {len(train_ds)} pairs < one optimizer step "
+            f"({cfg.batch_size}/chip x {ndev} chips x {cfg.accum_steps} accum "
+            f"= {per_step}); add data or lower batch/accum"
+        )
     it = DataIterator(
         train_ds, per_step, shuffle=True, drop_last=True,
         num_threads=cfg.num_workers, seed=cfg.seed,
@@ -280,8 +286,15 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
     hr_size = cfg.img_size * 4
     train_ds = PatchDataset(train_entries, cfg.img_size, hr_size)
     micro = cfg.batch_size * ndev
+    per_step = micro * cfg.accum_steps
+    if len(train_ds) < per_step:
+        raise ValueError(
+            f"train split has {len(train_ds)} pairs < one optimizer step "
+            f"({cfg.batch_size}/chip x {ndev} chips x {cfg.accum_steps} accum "
+            f"= {per_step}); add data or lower batch/accum"
+        )
     it = DataIterator(
-        train_ds, micro * cfg.accum_steps, shuffle=True, drop_last=True,
+        train_ds, per_step, shuffle=True, drop_last=True,
         num_threads=cfg.num_workers, seed=cfg.seed,
     )
 

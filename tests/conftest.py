@@ -7,6 +7,9 @@ multi-chip sharding tests run against 8 virtual CPU devices (SURVEY.md §4).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent XLA compile cache: repeated suite runs skip recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache_cpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
