@@ -127,6 +127,7 @@ def cmd_train(args) -> None:
         epochs=args.epochs,
         use_bf16=args.bf16,
         attn_impl=args.attn_impl,
+        remat=args.remat,
         use_vgg=not args.no_vgg,
         vgg_weights=args.vgg_weights,
         seed=args.seed,
@@ -230,6 +231,7 @@ def main(argv=None) -> None:
     pt.add_argument("--epochs", type=int, default=300)
     pt.add_argument("--batch-size", type=int, default=None)
     pt.add_argument("--bf16", action="store_true")
+    pt.add_argument("--remat", action="store_true", help="checkpoint blocks (less memory, more compute)")
     pt.add_argument("--attn-impl", choices=["xla", "pallas"], default=None)
     pt.add_argument("--no-vgg", action="store_true")
     pt.add_argument("--vgg-weights", default=None)

@@ -75,6 +75,7 @@ class SwinTrainConfig:
     mlp_ratio: float = 2.0
     use_bf16: bool = False
     attn_impl: str | None = None
+    remat: bool = False
     use_vgg: bool = True
     vgg_weights: str | None = None  # npz of flax params; None -> seeded init
     seed: int = 0
@@ -110,6 +111,7 @@ class HATTrainConfig:
     num_grow_ch: int = 24
     use_bf16: bool = False
     attn_impl: str | None = None
+    remat: bool = False
     use_vgg: bool = True
     vgg_weights: str | None = None
     seed: int = 0
@@ -189,6 +191,7 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
         mlp_ratio=cfg.mlp_ratio,
         dtype=dtype,
         attn_impl=cfg.attn_impl,
+        remat=cfg.remat,
     )
     criterion_g = CombinedGANLoss(
         pixel_weight=1.0, perceptual_weight=0.5, adversarial_weight=0.005,
@@ -311,6 +314,7 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
         num_grow_ch=cfg.num_grow_ch,
         dtype=dtype,
         attn_impl=cfg.attn_impl,
+        remat=cfg.remat,
     )
     criterion_g = CombinedGANLoss(
         pixel_weight=1.0, perceptual_weight=1.0, adversarial_weight=0.005,

@@ -346,6 +346,7 @@ class HAT(nn.Module):
     num_feat: int = 64
     dtype: Dtype = jnp.float32
     attn_impl: str | None = None
+    remat: bool = False  # jax.checkpoint each RHAG: activation memory / n_groups
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -365,8 +366,9 @@ class HAT(nn.Module):
         if self.patch_norm:
             res = LayerNorm(dtype=self.dtype, name="patch_norm")(res)
         d0 = 0
+        Group = nn.remat(RHAG, static_argnums=(2, 3)) if self.remat else RHAG
         for i, depth in enumerate(self.depths):
-            res = RHAG(
+            res = Group(
                 dim=self.embed_dim,
                 depth=depth,
                 num_heads=self.num_heads[i],

@@ -104,6 +104,7 @@ class HybridHATRealESRGAN(nn.Module):
     num_grow_ch: int = 32
     dtype: Dtype = jnp.float32
     attn_impl: str | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -119,6 +120,7 @@ class HybridHATRealESRGAN(nn.Module):
             img_range=1.0,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="hat",
         )(x, deterministic)
 

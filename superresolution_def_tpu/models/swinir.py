@@ -143,6 +143,7 @@ class SwinIR(nn.Module):
     upscale: int = 2
     dtype: Dtype = jnp.float32
     attn_impl: str | None = None
+    remat: bool = False  # jax.checkpoint each block: ~1/36 activation memory
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -158,9 +159,14 @@ class SwinIR(nn.Module):
         )(x)
 
         res = x_first.reshape(b, hp * wp, self.embed_dim)  # patch embed (flatten)
+        Block = (
+            nn.remat(SwinTransformerBlock, static_argnums=(2,))
+            if self.remat
+            else SwinTransformerBlock
+        )
         for i, depth in enumerate(self.depths):
             for j in range(depth):
-                res = SwinTransformerBlock(
+                res = Block(
                     dim=self.embed_dim,
                     num_heads=self.num_heads[i],
                     window_size=ws,

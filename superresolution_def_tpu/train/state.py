@@ -109,6 +109,7 @@ def create_swin_train_state(
     mlp_ratio: float = 2.0,
     dtype=jnp.float32,
     attn_impl: str | None = None,
+    remat: bool = False,
 ):
     """Reference swin train config (train_swin.py:147-156)."""
     g = SwinIR(
@@ -122,6 +123,7 @@ def create_swin_train_state(
         upscale=upscale,
         dtype=dtype,
         attn_impl=attn_impl,
+        remat=remat,
     )
     d = UNetDiscriminatorSNSwin(num_in_ch=1, num_feat=64, dtype=dtype)
     return _make_state(rng, g, d, img_size, img_size * upscale, g_wd=0.0, d_wd=0.0)
@@ -140,6 +142,7 @@ def create_hat_train_state(
     num_grow_ch: int = 24,
     dtype=jnp.float32,
     attn_impl: str | None = None,
+    remat: bool = False,
 ):
     """Reference 'Soft' hybrid config (train_hat.py:132-136)."""
     g = HybridHATRealESRGAN(
@@ -155,6 +158,7 @@ def create_hat_train_state(
         num_grow_ch=num_grow_ch,
         dtype=dtype,
         attn_impl=attn_impl,
+        remat=remat,
     )
     d = UNetDiscriminatorSNHAT(num_in_ch=1, num_feat=64, dtype=dtype)
     return _make_state(rng, g, d, img_size, img_size * 4, g_wd=0.01, d_wd=0.01)
