@@ -100,7 +100,7 @@ def load_generator(folder: str | Path, arch: str):
             model = SwinIR(
                 img_size=128, in_chans=1, embed_dim=det["embed_dim"],
                 depths=tuple(det["depths"]), num_heads=tuple(det["num_heads"]),
-                window_size=8, mlp_ratio=2.0, upscale=4,
+                window_size=8, mlp_ratio=det.get("mlp_ratio", 4.0), upscale=4,
             )
         else:
             det = detect_hybrid_params(sd)
@@ -133,10 +133,13 @@ def _build_model_from_params(arch: str, params) -> object:
         heads = np.asarray(
             params["layers_0_0"]["attn"]["relative_position_bias_table"]
         ).shape[-1]
+        fc1_out = np.asarray(
+            params["layers_0_0"]["mlp"]["fc1"]["linear"]["kernel"]
+        ).shape[-1]
         return SwinIR(
             img_size=128, in_chans=1, embed_dim=int(embed_dim),
             depths=(depth0,) * n_layers, num_heads=(heads,) * n_layers,
-            window_size=8, mlp_ratio=2.0, upscale=4,
+            window_size=8, mlp_ratio=float(fc1_out) / embed_dim, upscale=4,
         )
     hat = params["hat"]
     embed_dim = np.asarray(hat["conv_first"]["conv"]["kernel"]).shape[-1]

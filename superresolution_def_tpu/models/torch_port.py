@@ -92,20 +92,36 @@ def _mlp(sd, prefix):
 # SwinIR
 # --------------------------------------------------------------------------- #
 def detect_swinir_params(sd: StateDict) -> dict:
-    """Shape-sniff SwinIR hyperparameters (reference infer_swin.py:39-55)."""
+    """Shape-sniff SwinIR hyperparameters (reference infer_swin.py:39-55,
+    extended: exact per-layer depths and head counts instead of the
+    reference's [6]*n assumption)."""
     params = {"embed_dim": 96, "depths": [6, 6, 6, 6], "num_heads": [6, 6, 6, 6]}
     if "conv_first.weight" in sd:
         params["embed_dim"] = int(_np(sd["conv_first.weight"]).shape[0])
-    max_layer = -1
+    layer_depth: dict[int, int] = {}
     for k in sd:
         if k.startswith("layers."):
+            parts = k.split(".")
             try:
-                max_layer = max(max_layer, int(k.split(".")[1]))
-            except ValueError:
-                pass
-    if max_layer >= 0:
-        params["depths"] = [6] * (max_layer + 1)
-        params["num_heads"] = [6] * (max_layer + 1)
+                li, bj = int(parts[1]), int(parts[2])
+            except (ValueError, IndexError):
+                continue
+            layer_depth[li] = max(layer_depth.get(li, 0), bj + 1)
+    if layer_depth:
+        n = max(layer_depth) + 1
+        params["depths"] = [layer_depth.get(i, 6) for i in range(n)]
+        heads = []
+        for i in range(n):
+            key = f"layers.{i}.0.attn.relative_position_bias_table"
+            heads.append(int(_np(sd[key]).shape[-1]) if key in sd else 6)
+        params["num_heads"] = heads
+    # the reference constructor swallows mlp_ratio (always 4 in its
+    # checkpoints); sniff the actual ratio from fc1's output width
+    fc1 = "layers.0.0.mlp.fc1.weight"
+    if fc1 in sd and params["embed_dim"]:
+        params["mlp_ratio"] = float(_np(sd[fc1]).shape[0]) / params["embed_dim"]
+    else:
+        params["mlp_ratio"] = 4.0
     return params
 
 
@@ -267,6 +283,22 @@ def hybrid_from_torch(sd: StateDict, params: dict) -> dict:
                 rdb[f"conv{cidx}"] = _conv(sd, f"rrdb_trunk.{r}.rdb{b}.conv{cidx}")
             rrdb[f"rdb{b}"] = rdb
         out[f"rrdb_trunk_{r}"] = rrdb
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# SRVGGNetCompact
+# --------------------------------------------------------------------------- #
+def srvgg_from_torch(sd: StateDict, num_conv: int = 16) -> dict:
+    """torch body.{2i}=conv, body.{2i+1}=act(prelu weight) -> flax params."""
+    out: dict[str, Any] = {"body_0": _conv(sd, "body.0")}
+    if "body.1.weight" in sd:
+        out["prelu_0"] = vec(sd, "body.1.weight")
+    for i in range(1, num_conv + 1):
+        out[f"body_{i}"] = _conv(sd, f"body.{2 * i}")
+        if f"body.{2 * i + 1}.weight" in sd:
+            out[f"prelu_{i}"] = vec(sd, f"body.{2 * i + 1}.weight")
+    out["body_last"] = _conv(sd, f"body.{2 * (num_conv + 1)}")
     return out
 
 

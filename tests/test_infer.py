@@ -116,3 +116,31 @@ def test_tiled_sr_mesh_parallel():
     out = tiled_sr(nearest4, {}, img, tile=48, overlap=8, scale=4, mesh=mesh)
     ref = np.repeat(np.repeat(img[..., None], 4, axis=0), 4, axis=1)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_load_generator_from_torch_pth(tmp_path):
+    """Reference-style .pth checkpoints load with module.-strip + sniffing."""
+    import torch
+    from tests._torch_ref import load_reference_swinir
+
+    RefSwinIR = load_reference_swinir()
+    torch.manual_seed(0)
+    ref = RefSwinIR(upscale=4, in_chans=1, img_size=32, window_size=8,
+                    depths=[2], embed_dim=60, num_heads=[6], mlp_ratio=2).eval()
+    # reference trainer saves {'net_g': state_dict} with 'module.' prefixes
+    sd = {"module." + k: v for k, v in ref.state_dict().items()}
+    ck = tmp_path / "run" / "checkpoints"
+    ck.mkdir(parents=True)
+    torch.save({"net_g": sd, "epoch": 7}, ck / "best_gan_model.pth")
+
+    apply_fn, params, info = load_generator(tmp_path / "run", "swin")
+    assert info["format"] == "torch"
+    assert info["detected"]["embed_dim"] == 60
+
+    x = np.random.default_rng(5).random((1, 32, 32, 1)).astype(np.float32)
+    ours = apply_fn(params, jnp.asarray(x))
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), expected.numpy(), atol=2e-4
+    )
