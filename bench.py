@@ -35,7 +35,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="swin", choices=["swin", "hat"])
-    p.add_argument("--mode", default="infer", choices=["infer", "train"])
+    p.add_argument("--mode", default="infer", choices=["infer", "train", "prep"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
@@ -45,6 +45,9 @@ def main() -> None:
 
     if args.mode == "train":
         bench_train(args)
+        return
+    if args.mode == "prep":
+        bench_prep(args)
         return
 
     import jax
@@ -186,6 +189,57 @@ def bench_train(args) -> None:
                 "metric": metric,
                 "value": round(pps, 3),
                 "unit": "patches/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+def bench_prep(args) -> None:
+    """Fused dataset-prep throughput (BASELINE config #5): batched on-device
+    reprojection of observatory frames onto LR patch grids + log1p/percentile
+    normalization, end to end from a synthetic registered sky."""
+    import tempfile
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from superresolution_def_tpu.prep import (
+        TanWCS,
+        write_fits,
+        extract_patches,
+        normalize_target,
+        reproject_bilinear,
+    )
+
+    size = 2048
+    scale = 2e-4
+    rng = np.random.default_rng(0)
+    sky = (rng.random((size, size)) * 0.6 + 0.2).astype(np.float32)
+    w_h = TanWCS((10.0, 20.0), (size / 2, size / 2), cdelt=[-scale, scale])
+    tmp = Path(tempfile.mkdtemp(prefix="bench_prep_"))
+    (tmp / "hub").mkdir(); (tmp / "obs").mkdir()
+    write_fits(tmp / "hub" / "reg_h.fits", sky, w_h.to_header())
+    w_o = TanWCS((10.0, 20.0), (size / 8, size / 8), cdelt=[-scale * 4, scale * 4])
+    obs = np.nan_to_num(reproject_bilinear(sky, w_h, w_o, (size // 4, size // 4)))
+    write_fits(tmp / "obs" / "reg_o.fits", obs, w_o.to_header())
+
+    t0 = time.perf_counter()
+    n = extract_patches(
+        tmp / "hub", tmp / "obs", tmp / "pairs", stride=128,
+        hr_size=512, lr_size=128, log=lambda *a: None,
+    )
+    m = normalize_target(tmp / "pairs", tmp / "ready", log=lambda *a: None)
+    dt = time.perf_counter() - t0
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "fused_prep_pairs_per_sec",
+                "value": round(m / dt, 3),
+                "unit": "pairs/s",
                 "vs_baseline": None,
             }
         )
