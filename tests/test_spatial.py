@@ -12,7 +12,7 @@ from superresolution_def_tpu.parallel.spatial import (
     _roll_down,
     _halo_conv3,
 )
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 
