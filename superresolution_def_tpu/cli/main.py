@@ -193,11 +193,37 @@ def cmd_upscale(args) -> None:
         img01 = read_tiff_u16(src).astype(np.float32) / 65535.0
 
     apply_fn, params, info = load_generator(args.folder, args.arch)
-    mesh = make_mesh() if args.mesh else None
-    sr = tiled_sr(
-        apply_fn, params, img01,
-        tile=args.tile, overlap=args.overlap, scale=4, mesh=mesh,
-    )
+    if args.spatial:
+        # halo-exact context parallelism: the whole frame in ONE sharded
+        # program, H sharded over every chip (no tile blending at all)
+        from .infer import _build_model_from_params
+        from ..parallel import make_spatial_swinir, make_spatial_hybrid
+
+        mesh = make_mesh()
+        n = mesh.devices.size
+        model = _build_model_from_params(args.arch, params)
+        quantum = n * model.window_size
+        h, w = img01.shape[:2]
+        ph = (quantum - h % quantum) % quantum
+        pw = (model.window_size - w % model.window_size) % model.window_size
+        xin = np.pad(img01, ((0, ph), (0, pw)), mode="reflect")[None, ..., None]
+        if args.arch == "swin":
+            fn = make_spatial_swinir(
+                mesh, depths=model.depths, num_heads=model.num_heads,
+                window_size=model.window_size, upscale=model.upscale,
+            )
+        else:
+            fn = make_spatial_hybrid(
+                mesh, depths=model.depths, num_heads=model.num_heads,
+                window_size=model.window_size, num_rrdb=model.num_rrdb,
+            )
+        sr = np.asarray(fn(params, xin))[0, : h * 4, : w * 4]
+    else:
+        mesh = make_mesh() if args.mesh else None
+        sr = tiled_sr(
+            apply_fn, params, img01,
+            tile=args.tile, overlap=args.overlap, scale=4, mesh=mesh,
+        )
     out = args.out or str(src.with_suffix("")) + "_sr.tiff"
     write_tiff_u16(out, sr[..., 0])
     print(f"{src} {img01.shape} -> {out} {sr.shape[:2]}  [ckpt: {info['source']}]")
@@ -260,6 +286,8 @@ def main(argv=None) -> None:
     pu.add_argument("--tile", type=int, default=128)
     pu.add_argument("--overlap", type=int, default=16)
     pu.add_argument("--mesh", action="store_true", help="shard tiles over all chips")
+    pu.add_argument("--spatial", action="store_true",
+                    help="halo-exact spatial sharding instead of tile blending")
 
     sub.add_parser("bench", help="run bench.py (extra flags passed through)")
 

@@ -7,6 +7,8 @@ from .mesh import (
     sync_metrics,
 )
 from .dist import initialize_distributed, process_index, process_count, is_master
+from .spatial import make_spatial_swinir
+from .spatial_hat import make_spatial_hat, make_spatial_hybrid
 
 __all__ = [
     "make_mesh",
@@ -19,4 +21,7 @@ __all__ = [
     "process_index",
     "process_count",
     "is_master",
+    "make_spatial_swinir",
+    "make_spatial_hat",
+    "make_spatial_hybrid",
 ]

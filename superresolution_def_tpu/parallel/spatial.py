@@ -186,7 +186,6 @@ def make_spatial_swinir(
             mesh=mesh,
             in_specs=(P(), P(None, axis, None, None)),
             out_specs=P(None, axis, None, None),
-            check_rep=False,
         )
     )
 

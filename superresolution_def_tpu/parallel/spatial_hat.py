@@ -178,7 +178,6 @@ def make_spatial_hat(
             mesh=mesh,
             in_specs=(P(), P(None, axis, None, None), {"shift": P(axis, None, None)}),
             out_specs=P(None, axis, None, None),
-            check_rep=False,
         )
     )
 
@@ -251,7 +250,6 @@ def make_spatial_hybrid(
             mesh=mesh,
             in_specs=(P(), P(None, axis, None, None), {"shift": P(axis, None, None)}),
             out_specs=P(None, axis, None, None),
-            check_rep=False,
         )
     )
 
