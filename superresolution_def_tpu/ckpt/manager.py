@@ -26,15 +26,34 @@ from typing import Any
 import jax
 import orbax.checkpoint as ocp
 
+_async_ckptr: ocp.AsyncCheckpointer | None = None
 
-def save_pytree(path: str | Path, tree: Any) -> None:
+
+def _get_async() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def save_pytree(path: str | Path, tree: Any, *, async_write: bool = False) -> None:
+    """Write a checkpoint; async_write overlaps the write with training
+    (the epoch loop no longer stalls on orbax IO — observed ~30s/epoch on
+    the reference's save-every-epoch schedule). The next save waits for the
+    previous one automatically."""
     path = Path(path).resolve()
-    if path.exists():
-        import shutil
-
-        shutil.rmtree(path)
+    if async_write:
+        ckptr = _get_async()
+        ckptr.wait_until_finished()
+        ckptr.save(path, tree, force=True)  # orbax overwrites atomically
+        return
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, tree)
+    ckptr.save(path, tree, force=True)
+
+
+def wait_for_async_saves() -> None:
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def restore_pytree(path: str | Path, target: Any = None) -> Any:
@@ -63,7 +82,12 @@ class CheckpointManager:
         save_pytree(
             self.ckpt_dir / "latest_checkpoint",
             {"state": state, "epoch": epoch, "best_psnr": best_psnr},
+            async_write=True,
         )
+
+    def wait(self) -> None:
+        """Block until in-flight async saves land (call at end of training)."""
+        wait_for_async_saves()
 
     def save_epoch(self, state, *, epoch: int) -> None:
         if not self.master:
@@ -81,6 +105,7 @@ class CheckpointManager:
 
     # -- reads ---------------------------------------------------------------
     def latest_path(self) -> Path | None:
+        wait_for_async_saves()  # an in-flight write commits before we look
         latest = self.ckpt_dir / "latest_checkpoint"
         if latest.exists():
             return latest

@@ -271,6 +271,7 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
                 )
     if tb:
         tb.flush()
+    mgr.wait()  # land in-flight async checkpoint writes
     return last
 
 
