@@ -150,6 +150,7 @@ def cmd_train(args) -> None:
         cfg = HATTrainConfig(**common)
         if args.batch_size:
             cfg.batch_size = args.batch_size
+        cfg.pretrained_hat = args.pretrained_hat
         train_hat_run(cfg, resume=not args.no_resume)
 
 
@@ -261,6 +262,8 @@ def main(argv=None) -> None:
     pt.add_argument("--attn-impl", choices=["xla", "pallas"], default=None)
     pt.add_argument("--no-vgg", action="store_true")
     pt.add_argument("--vgg-weights", default=None)
+    pt.add_argument("--pretrained-hat", default=None,
+                    help="HAT-only checkpoint (.pth or orbax) to seed the hybrid backbone")
     pt.add_argument("--no-resume", action="store_true")
     pt.add_argument("--seed", type=int, default=0)
     # model/config knobs (reference hardcodes these; SURVEY.md §5 config)

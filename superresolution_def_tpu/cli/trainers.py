@@ -114,6 +114,7 @@ class HATTrainConfig:
     remat: bool = False
     use_vgg: bool = True
     vgg_weights: str | None = None
+    pretrained_hat: str | None = None  # HAT-only .pth/orbax to seed the backbone
     seed: int = 0
     num_workers: int = 8
     max_steps_per_epoch: int | None = None
@@ -146,6 +147,27 @@ def _load_vgg(cfg):
 
 def _reshape_accum(batch, accum, micro):
     return {k: v.reshape(accum, micro, *v.shape[1:]) for k, v in batch.items()}
+
+
+def _load_pretrained_hat(path: str, g_params, cfg):
+    """Seed the hybrid's HAT backbone from a HAT-only checkpoint — the
+    reference's `--pretrained_hat` intent (parsed but never used there,
+    train_hat.py:84; non-strict load in hybridmodels_hat.py:133-143)."""
+    from ..models.torch_port import load_torch_state_dict, hat_from_torch
+    from ..ckpt.manager import restore_pytree
+
+    if str(path).endswith(".pth"):
+        sd = load_torch_state_dict(path)
+        prefix = "hat." if any(k.startswith("hat.") for k in sd) else ""
+        hat_params = hat_from_torch(sd, cfg.depths, prefix=prefix)
+    else:
+        raw = restore_pytree(path)
+        hat_params = raw.get("params", raw)
+        if "hat" in hat_params:
+            hat_params = hat_params["hat"]
+    new_g = dict(g_params)
+    new_g["hat"] = hat_params
+    return new_g
 
 
 def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
@@ -324,6 +346,14 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
     step = make_hat_train_step(
         bundle, accum_steps=cfg.accum_steps, criterion_g=criterion_g
     )
+
+    if cfg.pretrained_hat:
+        state = state.replace(
+            g_params=_load_pretrained_hat(cfg.pretrained_hat, state.g_params, cfg)
+        )
+        state = state.replace(ema=state.g_params)
+        if master:
+            print(f"Seeded HAT backbone from {cfg.pretrained_hat}")
 
     mgr = CheckpointManager(run_dir, master=master)
     start_epoch = 1

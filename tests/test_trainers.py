@@ -91,3 +91,42 @@ def test_train_hat_run_warmup_and_artifacts(tmp_path):
     assert (run / "train_log.csv").exists()
     assert (run / "checkpoints" / "epoch_001").exists()
     assert (run / "previews" / "epoch_001_preview.png").exists()
+
+
+def test_load_pretrained_hat_seeds_backbone(tmp_path):
+    """--pretrained_hat intent: HAT-only .pth seeds the hybrid backbone."""
+    import torch
+    import jax
+    import numpy as np
+    from tests._torch_ref import load_reference_hat
+    from superresolution_def_tpu.train import create_hat_train_state
+    from superresolution_def_tpu.cli.trainers import _load_pretrained_hat
+    from superresolution_def_tpu.models.torch_port import hat_from_torch
+
+    RefHAT = load_reference_hat()
+    torch.manual_seed(0)
+    ref = RefHAT(img_size=16, in_chans=1, embed_dim=30, depths=(1,), num_heads=(6,),
+                 window_size=8, upscale=2, upsampler="pixelshuffle", img_range=1.0)
+    pth = tmp_path / "hat_only.pth"
+    torch.save(ref.state_dict(), pth)
+
+    state, bundle = create_hat_train_state(
+        jax.random.PRNGKey(0), img_size=16, embed_dim=30, depths=(1,),
+        num_heads=(6,), window_size=8, num_rrdb=1, num_feat=16, num_grow_ch=8,
+    )
+
+    class Cfg:
+        depths = (1,)
+
+    new_g = _load_pretrained_hat(str(pth), state.g_params, Cfg)
+    expect = hat_from_torch({k: v.numpy() for k, v in ref.state_dict().items()}, (1,))
+    a = np.asarray(jax.tree_util.tree_leaves(new_g["hat"])[0])
+    b = np.asarray(jax.tree_util.tree_leaves(expect)[0])
+    np.testing.assert_array_equal(a, b)
+    # non-HAT parts untouched
+    c = jax.tree_util.tree_leaves(new_g["conv_adapt"])[0]
+    d = jax.tree_util.tree_leaves(state.g_params["conv_adapt"])[0]
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+    # the hybrid still runs with the seeded backbone
+    out = bundle.g_apply({"params": new_g}, jax.numpy.zeros((1, 16, 16, 1)), True)
+    assert out.shape == (1, 64, 64, 1)
