@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import csv as csv_mod
 from pathlib import Path
-from typing import Callable, Sequence
+from typing import Callable
 
 import numpy as np
 import jax

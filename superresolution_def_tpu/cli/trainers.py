@@ -33,7 +33,7 @@ from typing import Sequence
 import numpy as np
 import jax
 
-from ..data import PatchDataset, DataIterator, load_manifest, merge_manifests
+from ..data import PatchDataset, DataIterator, merge_manifests
 from ..parallel import make_mesh, replicate, shard_batch, is_master
 from ..train import (
     CombinedGANLoss,

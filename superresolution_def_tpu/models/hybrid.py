@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.resize import resize_nearest
-from .layers import Conv2d, leaky_relu, kaiming_normal_init
+from .layers import leaky_relu, kaiming_normal_init
 from .hat import HAT
 
 Dtype = Any

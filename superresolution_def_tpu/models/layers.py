@@ -11,7 +11,7 @@ GELU is the exact (erf) variant — torch nn.GELU default. LayerNorm eps=1e-5.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ W divisible by ws, H_local >= ws.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import numpy as np

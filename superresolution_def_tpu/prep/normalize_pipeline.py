@@ -18,7 +18,7 @@ from pathlib import Path
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.normalize import log_stretch, log_stretch_normalize, quantize_u16
+from ..ops.normalize import log_stretch, log_stretch_normalize
 from ..data.tiff import write_tiff_u16
 from .fits import read_fits
 
