@@ -58,22 +58,24 @@ def _attention_xla(
 def _fused_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     """One grid step: (BLK, N, d) q against (BLK, M, d) k/v for one head.
 
-    grid = (num_window_blocks, heads). Softmax in fp32 on the VPU, both
-    matmuls on the MXU with fp32 accumulation.
+    grid = (num_window_blocks, heads). Matmuls run on the MXU in the input
+    dtype (bf16 in the fast path) with fp32 accumulation; the softmax chain
+    stays fp32 on the VPU.
     """
-    q = q_ref[0].astype(jnp.float32)  # (BLK, N, d)
-    k = k_ref[0].astype(jnp.float32)  # (BLK, M, d)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]  # (BLK, N, d), input dtype
+    k = k_ref[0]  # (BLK, M, d)
+    v = v_ref[0]
     attn = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (BLK, N, M)
+    )  # (BLK, N, M) fp32
     attn = attn + bias_ref[0].astype(jnp.float32)
     attn = attn + mask_ref[:].astype(jnp.float32)
     attn = attn - jnp.max(attn, axis=-1, keepdims=True)
     attn = jnp.exp(attn)
     attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        attn, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        attn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0] = out.astype(o_ref.dtype)
 
