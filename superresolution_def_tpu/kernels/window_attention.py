@@ -80,9 +80,81 @@ def _fused_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _fused_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """Mask-free variant — avoids streaming a zeros mask from HBM
+    (SwinIR's shifted windows are deliberately unmasked, so this is the
+    hot path)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    attn = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    attn = attn + bias_ref[0].astype(jnp.float32)
+    attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+    attn = jnp.exp(attn)
+    attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        attn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fused_kernel_allheads(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """Grid over window blocks only; static loop over heads in-kernel.
+
+    Avoids the (Bw, h) <-> (h, Bw) relayout transposes of the per-head grid
+    (they cost more than the attention math at these shapes).
+    q/k/v blocks: (BLK, h, N|M, d); bias: (h, N, M)."""
+    heads = q_ref.shape[1]
+    for i in range(heads):
+        q = q_ref[:, i]
+        k = k_ref[:, i]
+        v = v_ref[:, i]
+        attn = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        attn = attn + bias_ref[i].astype(jnp.float32)
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            attn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, i] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_windows"))
+def _attention_pallas_allheads(q, k, v, bias, scale, block_windows=32):
+    """No-mask fast path in native (Bw, h, N, d) layout, no transposes."""
+    bw, h, n, d = q.shape
+    m = k.shape[2]
+    blk = min(block_windows, bw)
+    while bw % blk:
+        blk -= 1
+    q = q * scale
+    grid = (bw // blk,)
+    return pl.pallas_call(
+        _fused_kernel_allheads,
+        out_shape=jax.ShapeDtypeStruct((bw, h, n, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((blk, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, h, m, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, h, m, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, n, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (blk, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(q, k, v, bias)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_windows"))
 def _attention_pallas(q, k, v, bias, mask_tiled, scale, block_windows=8):
-    """q,k,v: (Bw, h, N|M, d); bias: (h, N, M); mask_tiled: (Bw, N, M)."""
+    """q,k,v: (Bw, h, N|M, d); bias: (h, N, M); mask_tiled: (Bw, N, M)|None."""
     bw, h, n, d = q.shape
     m = k.shape[2]
     blk = min(block_windows, bw)
@@ -93,21 +165,32 @@ def _attention_pallas(q, k, v, bias, mask_tiled, scale, block_windows=8):
     v = v.swapaxes(0, 1)
 
     grid = (bw // blk, h)
-    out = pl.pallas_call(
-        _fused_kernel,
-        out_shape=jax.ShapeDtypeStruct((h, bw, n, d), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, blk, n, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, m, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, m, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, m), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, n, m), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, blk, n, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )(q, k, v, bias, mask_tiled)
+    qkv_specs = [
+        pl.BlockSpec((1, blk, n, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, m, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, m, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, m), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, blk, n, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    if mask_tiled is None:
+        out = pl.pallas_call(
+            _fused_kernel_nomask,
+            out_shape=jax.ShapeDtypeStruct((h, bw, n, d), q.dtype),
+            grid=grid,
+            in_specs=qkv_specs,
+            out_specs=out_spec,
+        )(q, k, v, bias)
+    else:
+        out = pl.pallas_call(
+            _fused_kernel,
+            out_shape=jax.ShapeDtypeStruct((h, bw, n, d), q.dtype),
+            grid=grid,
+            in_specs=qkv_specs
+            + [pl.BlockSpec((blk, n, m), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)],
+            out_specs=out_spec,
+        )(q, k, v, bias, mask_tiled)
     return out.swapaxes(0, 1)
 
 
@@ -136,10 +219,8 @@ def window_attention(
     if impl == "xla":
         return _attention_xla(q, k, v, bias, mask, scale)
     bw, _, n, _ = q.shape
-    m = k.shape[2]
     if mask is None:
-        mask_tiled = jnp.zeros((bw, n, m), dtype=jnp.float32)
-    else:
-        nw = mask.shape[0]
-        mask_tiled = jnp.tile(mask, (bw // nw, 1, 1))
+        return _attention_pallas_allheads(q, k, v, bias, float(scale))
+    nw = mask.shape[0]
+    mask_tiled = jnp.tile(mask, (bw // nw, 1, 1))
     return _attention_pallas(q, k, v, bias, mask_tiled, float(scale))
