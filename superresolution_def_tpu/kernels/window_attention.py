@@ -127,7 +127,7 @@ def _fused_kernel_allheads(q_ref, k_ref, v_ref, bias_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_windows"))
-def _attention_pallas_allheads(q, k, v, bias, scale, block_windows=32):
+def _attention_pallas_allheads(q, k, v, bias, scale, block_windows=16):
     """No-mask fast path in native (Bw, h, N, d) layout, no transposes."""
     bw, h, n, d = q.shape
     m = k.shape[2]
