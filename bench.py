@@ -38,7 +38,7 @@ def main() -> None:
     p.add_argument("--mode", default="infer", choices=["infer", "train", "prep"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--impl", default="xla", choices=["xla", "pallas", "fused"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--img-size", type=int, default=128, help="LR patch size (smoke runs)")
     args = p.parse_args()
@@ -55,7 +55,24 @@ def main() -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    if args.arch == "swin":
+    if args.arch == "swin" and args.impl == "fused":
+        from superresolution_def_tpu.models import SwinIR
+        from superresolution_def_tpu.kernels.swin_block import make_fused_swinir
+
+        model = SwinIR(
+            img_size=args.img_size, in_chans=1, embed_dim=180, depths=(6,) * 6,
+            num_heads=(6,) * 6, window_size=8, mlp_ratio=2.0, upscale=4,
+            dtype=dtype,
+        )
+        metric = "swinir_x4_128to512_patches_per_sec_per_chip"
+        fused_fn = make_fused_swinir(
+            depths=(6,) * 6, num_heads=(6,) * 6, window_size=8, upscale=4,
+            dtype=dtype,
+        )
+
+        def apply_fn(params, x):
+            return fused_fn(params, x)
+    elif args.arch == "swin":
         from superresolution_def_tpu.models import SwinIR
 
         model = SwinIR(

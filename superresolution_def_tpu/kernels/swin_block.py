@@ -1,0 +1,264 @@
+"""Fused SwinTransformerBlock kernel — the whole block in VMEM.
+
+One pallas_call per block computes LN1 -> QKV -> per-head window attention
+(+ relative-position bias) -> proj -> residual -> LN2 -> MLP -> residual
+for a tile of windows, with every intermediate living in VMEM. The XLA
+path materializes ~6 HBM-round-trip intermediates per block and launches
+each op separately; here HBM traffic is x-in + out + (streamed) weights.
+
+Operates on PRE-PARTITIONED windows (Bw, N, C) — cyclic rolls and window
+partition/reverse commute with LayerNorm and stay outside (they are pure
+data movement XLA handles between blocks). No shift mask (SwinIR's
+documented deviation); HAT-style masked blocks keep the unfused path.
+
+Numerics: matmuls in the input dtype (bf16 fast path) with fp32
+accumulation; LayerNorm / softmax chains in fp32 — matching the unfused
+reference path to ~1e-2 in bf16 and ~1e-5 in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_f32(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)) * scale.astype(jnp.float32) + bias.astype(
+        jnp.float32
+    )
+
+
+def _make_kernel(num_heads: int, head_dim: int, scale: float):
+    c = num_heads * head_dim
+
+    def kernel(
+        x_ref,        # (BLK, N, C)
+        ln1s_ref, ln1b_ref,           # (C,)
+        wqkv_ref, bqkv_ref,           # (C, 3C), (3C,)
+        bias_ref,                     # (heads, N, N) fp32
+        wproj_ref, bproj_ref,         # (C, C), (C,)
+        ln2s_ref, ln2b_ref,           # (C,)
+        w1_ref, b1_ref,               # (C, H), (H,)
+        w2_ref, b2_ref,               # (H, C), (C,)
+        o_ref,                        # (BLK, N, C)
+    ):
+        x = x_ref[:]                  # (BLK, N, C)
+        blk, n, _ = x.shape
+        dt = x.dtype
+
+        xn = _ln_f32(x, ln1s_ref[:], ln1b_ref[:]).astype(dt)
+        x2d = xn.reshape(blk * n, c)
+        qkv = (
+            jax.lax.dot_general(
+                x2d, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bqkv_ref[:].astype(jnp.float32)
+        ).astype(dt)
+        qkv = qkv.reshape(blk, n, 3 * c)
+
+        attn_out = jnp.zeros((blk, n, c), dtype=jnp.float32)
+        for i in range(num_heads):
+            q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
+            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+            a = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            a = a + bias_ref[i].astype(jnp.float32)
+            a = a - jnp.max(a, axis=-1, keepdims=True)
+            a = jnp.exp(a)
+            a = a / jnp.sum(a, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            attn_out = attn_out.at[:, :, i * head_dim : (i + 1) * head_dim].set(o)
+
+        proj = (
+            jax.lax.dot_general(
+                attn_out.astype(dt).reshape(blk * n, c), wproj_ref[:],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            + bproj_ref[:].astype(jnp.float32)
+        )
+        h = x.astype(jnp.float32).reshape(blk * n, c) + proj  # residual 1
+
+        hn = _ln_f32(h.astype(dt).reshape(blk, n, c), ln2s_ref[:], ln2b_ref[:]).astype(dt)
+        m = (
+            jax.lax.dot_general(
+                hn.reshape(blk * n, c), w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[:].astype(jnp.float32)
+        )
+        m = jax.nn.gelu(m, approximate=False).astype(dt)
+        m = (
+            jax.lax.dot_general(
+                m, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b2_ref[:].astype(jnp.float32)
+        )
+        out = h + m  # residual 2
+        o_ref[:] = out.reshape(blk, n, c).astype(dt)
+
+    return kernel
+
+
+def make_fused_swinir(
+    *,
+    depths,
+    num_heads,
+    window_size: int = 8,
+    upscale: int = 4,
+    block_windows: int = 32,
+    dtype=jnp.bfloat16,
+):
+    """Functional SwinIR forward over the standard params tree with every
+    transformer block running through :func:`fused_swin_block`.
+
+    Single-device inference path (`bench.py --impl fused`); convs/pixel-
+    shuffle head and tail stay XLA. Requires H, W multiples of window_size.
+    """
+    import numpy as np
+
+    from ..ops import window_partition, window_reverse, relative_position_index_sa
+    from ..ops.pixelshuffle import pixel_shuffle
+
+    ws = window_size
+
+    def conv3(p, x):
+        return (
+            jax.lax.conv_general_dilated(
+                x, p["conv"]["kernel"].astype(x.dtype), (1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + p["conv"]["bias"].astype(x.dtype)
+        )
+
+    def block(p, x, heads, shift):
+        b, h, w, c = x.shape
+        d = c // heads
+        rpb = p["attn"]["relative_position_bias_table"]
+        rpi = relative_position_index_sa(ws)
+        bias = (
+            rpb[rpi.reshape(-1)]
+            .reshape(ws * ws, ws * ws, heads)
+            .transpose(2, 0, 1)
+            .astype(jnp.float32)
+        )
+        y = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+        xw = window_partition(y, ws).reshape(-1, ws * ws, c)
+        out = fused_swin_block(
+            xw,
+            p["norm1"]["ln"]["scale"], p["norm1"]["ln"]["bias"],
+            p["attn"]["qkv"]["linear"]["kernel"].astype(dtype),
+            p["attn"]["qkv"]["linear"]["bias"],
+            bias,
+            p["attn"]["proj"]["linear"]["kernel"].astype(dtype),
+            p["attn"]["proj"]["linear"]["bias"],
+            p["norm2"]["ln"]["scale"], p["norm2"]["ln"]["bias"],
+            p["mlp"]["fc1"]["linear"]["kernel"].astype(dtype),
+            p["mlp"]["fc1"]["linear"]["bias"],
+            p["mlp"]["fc2"]["linear"]["kernel"].astype(dtype),
+            p["mlp"]["fc2"]["linear"]["bias"],
+            num_heads=heads,
+            scale=d**-0.5,
+            block_windows=block_windows,
+        )
+        y = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
+        return jnp.roll(y, (shift, shift), axis=(1, 2)) if shift else y
+
+    @jax.jit
+    def fn(params, x):
+        b, h, w, _ = x.shape
+        assert h % ws == 0 and w % ws == 0
+        x = x.astype(dtype)
+        x_first = conv3(params["conv_first"], x)
+        res = x_first
+        for i, depth in enumerate(depths):
+            for j in range(depth):
+                res = block(
+                    params[f"layers_{i}_{j}"], res, num_heads[i],
+                    0 if j % 2 == 0 else ws // 2,
+                )
+        # final LN over channels
+        ln = params["norm"]["ln"]
+        res = _ln_f32(res, ln["scale"], ln["bias"]).astype(dtype)
+        res = conv3(params["conv_after_body"], res) + x_first
+
+        out = conv3(params["conv_before_upsample"], res)
+        out = jnp.where(out >= 0, out, out * 0.01)
+        n_up = int(np.log2(upscale)) if upscale != 3 else 1
+        if upscale == 3:
+            out = conv3(params["upsample_0"], out)
+            out = pixel_shuffle(out, 3)
+        else:
+            for s in range(n_up):
+                out = conv3(params[f"upsample_{s}"], out)
+                out = pixel_shuffle(out, 2)
+        return conv3(params["conv_last"], out)
+
+    return fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_windows")
+)
+def fused_swin_block(
+    x_windows,            # (Bw, N, C) pre-partitioned (+pre-rolled) windows
+    ln1_scale, ln1_bias,
+    wqkv, bqkv,           # (C, 3C), (3C,)
+    bias,                 # (heads, N, N) relative-position bias, fp32
+    wproj, bproj,
+    ln2_scale, ln2_bias,
+    w1, b1, w2, b2,
+    *,
+    num_heads: int,
+    scale: float,
+    block_windows: int = 32,
+):
+    bw, n, c = x_windows.shape
+    head_dim = c // num_heads
+    blk = min(block_windows, bw)
+    while bw % blk:
+        blk -= 1
+    hidden = w1.shape[1]
+
+    kernel = _make_kernel(num_heads, head_dim, scale)
+    grid = (bw // blk,)
+
+    def tile(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), x_windows.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            tile((c,)), tile((c,)),
+            tile((c, 3 * c)), tile((3 * c,)),
+            tile((num_heads, n, n)),
+            tile((c, c)), tile((c,)),
+            tile((c,)), tile((c,)),
+            tile((c, hidden)), tile((hidden,)),
+            tile((hidden, c)), tile((c,)),
+        ],
+        out_specs=pl.BlockSpec(
+            (blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(
+        x_windows,
+        ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        ln2_scale, ln2_bias, w1, b1, w2, b2,
+    )
