@@ -26,6 +26,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7) — the
+    exact-GELU path inside the kernel (pallas TPU cannot lower erf/erfc)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    xf = x.astype(jnp.float32)
+    return xf * 0.5 * (1.0 + _erf_approx(xf * (2.0**-0.5)))
+
+
 def _ln_f32(x, scale, bias, eps=1e-5):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -64,7 +82,7 @@ def _make_kernel(num_heads: int, head_dim: int, scale: float):
         ).astype(dt)
         qkv = qkv.reshape(blk, n, 3 * c)
 
-        attn_out = jnp.zeros((blk, n, c), dtype=jnp.float32)
+        head_outs = []
         for i in range(num_heads):
             q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
             k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
@@ -80,7 +98,8 @@ def _make_kernel(num_heads: int, head_dim: int, scale: float):
                 a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            attn_out = attn_out.at[:, :, i * head_dim : (i + 1) * head_dim].set(o)
+            head_outs.append(o)
+        attn_out = jnp.concatenate(head_outs, axis=-1)
 
         proj = (
             jax.lax.dot_general(
@@ -99,7 +118,7 @@ def _make_kernel(num_heads: int, head_dim: int, scale: float):
             )
             + b1_ref[:].astype(jnp.float32)
         )
-        m = jax.nn.gelu(m, approximate=False).astype(dt)
+        m = _gelu_exact(m).astype(dt)
         m = (
             jax.lax.dot_general(
                 m, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -119,7 +138,7 @@ def make_fused_swinir(
     num_heads,
     window_size: int = 8,
     upscale: int = 4,
-    block_windows: int = 32,
+    block_windows: int | None = None,
     dtype=jnp.bfloat16,
 ):
     """Functional SwinIR forward over the standard params tree with every
@@ -134,6 +153,10 @@ def make_fused_swinir(
     from ..ops.pixelshuffle import pixel_shuffle
 
     ws = window_size
+    if block_windows is None:
+        # VMEM budget: fp32 activations are 2x bf16 — 32 windows fits bf16,
+        # 16 fits fp32 (measured: 32@fp32 overflows scoped vmem by ~0.7MB)
+        block_windows = 32 if dtype == jnp.bfloat16 else 16
 
     def conv3(p, x):
         return (
