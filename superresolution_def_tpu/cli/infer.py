@@ -173,6 +173,17 @@ def _apply_of(model, arch: str) -> Callable:
     return lambda params, x: model.apply({"params": params}, x, True)
 
 
+def fused_apply_of(model) -> Callable:
+    """Fused whole-block kernel forward for a sniffed SwinIR config —
+    2.1x the XLA path on-chip (kernels/swin_block.py). bf16 compute."""
+    from ..kernels import make_fused_swinir
+
+    return make_fused_swinir(
+        depths=model.depths, num_heads=model.num_heads,
+        window_size=model.window_size, upscale=model.upscale,
+    )
+
+
 # --------------------------------------------------------------------------- #
 # tiled inference
 # --------------------------------------------------------------------------- #
@@ -280,11 +291,22 @@ def run_test(
     limit: int | None = None,
     write_csv: bool | None = None,
     manifest: str | None = None,
+    impl: str | None = None,
 ) -> dict:
-    """Evaluate a run folder on its targets' test split; write artifacts."""
+    """Evaluate a run folder on its targets' test split; write artifacts.
+
+    impl='fused' routes SwinIR through the whole-block VMEM kernel (bf16).
+    """
     folder = Path(folder)
     apply_fn, params, info = load_generator(folder, arch)
-    fn = jax.jit(lambda p, x: jnp.clip(jnp.nan_to_num(apply_fn(p, x)), 0.0, 1.0))
+    if impl == "fused" and arch == "swin":
+        apply_fn = fused_apply_of(_build_model_from_params(arch, params))
+        info["impl"] = "fused"
+    fn = jax.jit(
+        lambda p, x: jnp.clip(
+            jnp.nan_to_num(apply_fn(p, x).astype(jnp.float32)), 0.0, 1.0
+        )
+    )
 
     if manifest is not None:
         entries = load_manifest(manifest, data_root)

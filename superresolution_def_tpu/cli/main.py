@@ -168,6 +168,7 @@ def cmd_infer(args) -> None:
         data_root=args.data_root,
         limit=args.limit,
         manifest=args.manifest,
+        impl=args.impl,
     )
     print(
         f"Test: {result['num_images']} images  "
@@ -280,6 +281,8 @@ def main(argv=None) -> None:
     pi.add_argument("--outputs-root", default="outputs")
     pi.add_argument("--limit", type=int, default=None)
     pi.add_argument("--manifest", default=None)
+    pi.add_argument("--impl", choices=["fused"], default=None,
+                    help="'fused' = whole-block VMEM kernel (swin, bf16, 2.1x)")
 
     pu = sub.add_parser("upscale", help="tiled x4 SR of an arbitrary-size TIFF/FITS image")
     pu.add_argument("image")

@@ -144,3 +144,27 @@ def test_load_generator_from_torch_pth(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ours).transpose(0, 3, 1, 2), expected.numpy(), atol=2e-4
     )
+
+
+def test_run_test_fused_impl(tmp_path):
+    """SwinIR inference through the fused whole-block kernel path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    state, bundle, run_dir = _tiny_run(tmp_path, name="TF_DDP_SwinIR")
+    rng = np.random.default_rng(7)
+    entries = []
+    for i in range(2):
+        d = tmp_path / "fp" / f"p{i}"
+        write_tiff_u16(d / "h.tiff", rng.random((64, 64)))
+        write_tiff_u16(d / "g.tiff", rng.random((16, 16)))
+        entries.append(ManifestEntry(f"p{i}", str(d / "h.tiff"), str(d / "g.tiff")))
+    mpath = tmp_path / "t.json"
+    write_manifest(mpath, entries)
+
+    with pltpu.force_tpu_interpret_mode():
+        res = run_test(
+            run_dir, "swin", manifest=str(mpath), lr_size=16, hr_size=64,
+            impl="fused",
+        )
+    assert res["checkpoint"]["impl"] == "fused"
+    assert res["num_images"] == 2 and np.isfinite(res["psnr"])
