@@ -169,11 +169,12 @@ def bench_train(args) -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     size = args.img_size
-    attn = None if args.impl == "fused" else args.impl  # train path has no fused yet
+    attn = None if args.impl == "fused" else args.impl
     if args.arch == "swin":
         accum, micro = 4, args.batch if args.batch != 8 else 2
         state, bundle = create_swin_train_state(
-            jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn
+            jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn,
+            fused=(args.impl == "fused"),
         )
         step = make_swin_train_step(bundle, accum_steps=accum)
         run = lambda s, b: step(s, b, 1e-4, 1e-4)

@@ -132,6 +132,326 @@ def _make_kernel(num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
+def _make_bwd_kernel(num_heads: int, head_dim: int, scale: float):
+    """Backward of the fused block: recomputes the forward in VMEM, then
+    chains gradients. Weight/bias/LN/bias-table grads accumulate across
+    grid steps into revisited output blocks (sequential TPU grid)."""
+    c = num_heads * head_dim
+
+    def kernel(
+        x_ref, dout_ref,
+        ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref,
+        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref,
+        # outputs
+        dx_ref,
+        dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dbias_ref,
+        dwproj_ref, dbproj_ref, dln2s_ref, dln2b_ref,
+        dw1_ref, db1_ref, dw2_ref, db2_ref,
+    ):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for r in (
+                dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dbias_ref,
+                dwproj_ref, dbproj_ref, dln2s_ref, dln2b_ref,
+                dw1_ref, db1_ref, dw2_ref, db2_ref,
+            ):
+                r[...] = jnp.zeros_like(r)
+
+        x = x_ref[:]
+        dt = x.dtype
+        blk, n, _ = x.shape
+        dout = dout_ref[:].astype(jnp.float32).reshape(blk * n, c)
+        eps = 1e-5
+
+        # ---- recompute forward (keep fp32 stats) --------------------------
+        xf = x.astype(jnp.float32)
+        mu1 = jnp.mean(xf, axis=-1, keepdims=True)
+        var1 = jnp.mean((xf - mu1) ** 2, axis=-1, keepdims=True)
+        rstd1 = jax.lax.rsqrt(var1 + eps)
+        xhat1 = (xf - mu1) * rstd1
+        xn = (xhat1 * ln1s_ref[:].astype(jnp.float32) + ln1b_ref[:].astype(jnp.float32)).astype(dt)
+
+        x2d = xn.reshape(blk * n, c)
+        qkv = (
+            jax.lax.dot_general(
+                x2d, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bqkv_ref[:].astype(jnp.float32)
+        ).astype(dt).reshape(blk, n, 3 * c)
+
+        heads_a = []
+        heads_o = []
+        for i in range(num_heads):
+            q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
+            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+            a = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            a = a + bias_ref[i].astype(jnp.float32)
+            a = a - jnp.max(a, axis=-1, keepdims=True)
+            a = jnp.exp(a)
+            a = a / jnp.sum(a, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            heads_a.append(a)
+            heads_o.append(o)
+        attn_out = jnp.concatenate(heads_o, axis=-1)  # (blk, n, c) f32
+
+        proj = (
+            jax.lax.dot_general(
+                attn_out.astype(dt).reshape(blk * n, c), wproj_ref[:],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            + bproj_ref[:].astype(jnp.float32)
+        )
+        h = xf.reshape(blk * n, c) + proj
+
+        mu2 = jnp.mean(h, axis=-1, keepdims=True)
+        var2 = jnp.mean((h - mu2) ** 2, axis=-1, keepdims=True)
+        rstd2 = jax.lax.rsqrt(var2 + eps)
+        xhat2 = (h - mu2) * rstd2
+        hn = (xhat2 * ln2s_ref[:].astype(jnp.float32) + ln2b_ref[:].astype(jnp.float32)).astype(dt)
+
+        u = (
+            jax.lax.dot_general(
+                hn, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[:].astype(jnp.float32)
+        )
+        g = _gelu_exact(u).astype(dt)
+
+        # ---- backward ------------------------------------------------------
+        # out = h + g @ W2 + b2
+        dm = dout                                   # (BN, C) f32
+        dw2_ref[...] += jax.lax.dot_general(
+            g, dm.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db2_ref[...] += jnp.sum(dm, axis=0)
+        dg = jax.lax.dot_general(
+            dm.astype(dt), w2_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # exact gelu' = Phi(u) + u * phi(u)
+        uf = u
+        phi = jnp.exp(-0.5 * uf * uf) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+        Phi = 0.5 * (1.0 + _erf_approx(uf * (2.0**-0.5)))
+        du = dg * (Phi + uf * phi)
+        dw1_ref[...] += jax.lax.dot_general(
+            hn, du.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db1_ref[...] += jnp.sum(du, axis=0)
+        dhn = jax.lax.dot_general(
+            du.astype(dt), w1_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # LN2 backward
+        dln2s_ref[...] += jnp.sum(dhn * xhat2, axis=0)
+        dln2b_ref[...] += jnp.sum(dhn, axis=0)
+        dxh2 = dhn * ln2s_ref[:].astype(jnp.float32)
+        dh = rstd2 * (
+            dxh2
+            - jnp.mean(dxh2, axis=-1, keepdims=True)
+            - xhat2 * jnp.mean(dxh2 * xhat2, axis=-1, keepdims=True)
+        )
+        dh = dh + dout                               # residual 2
+
+        # proj backward
+        dbproj_ref[...] += jnp.sum(dh, axis=0)
+        dwproj_ref[...] += jax.lax.dot_general(
+            attn_out.astype(dt).reshape(blk * n, c), dh.astype(dt),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dattn = jax.lax.dot_general(
+            dh.astype(dt), wproj_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(blk, n, c)
+
+        # attention backward per head
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for i in range(num_heads):
+            a = heads_a[i]                           # (blk, n, n) f32
+            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+            q = qkv[:, :, i * head_dim : (i + 1) * head_dim]
+            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+            do = dattn[:, :, i * head_dim : (i + 1) * head_dim].astype(dt)
+            da = jax.lax.dot_general(
+                do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            dv = jax.lax.dot_general(
+                a.astype(dt), do, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+            dbias_ref[i] += jnp.sum(ds, axis=0)
+            dsd = ds.astype(dt)
+            dq = jax.lax.dot_general(
+                dsd, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ) * scale
+            dk = jax.lax.dot_general(
+                dsd, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ) * scale
+            dq_parts.append(dq)
+            dk_parts.append(dk)
+            dv_parts.append(dv)
+        dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+        dqkv2d = dqkv.reshape(blk * n, 3 * c)
+
+        dbqkv_ref[...] += jnp.sum(dqkv2d, axis=0)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            x2d, dqkv2d.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dxn = jax.lax.dot_general(
+            dqkv2d.astype(dt), wqkv_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(blk, n, c)
+
+        # LN1 backward
+        dln1s_ref[...] += jnp.sum((dxn * xhat1).reshape(blk * n, c), axis=0)
+        dln1b_ref[...] += jnp.sum(dxn.reshape(blk * n, c), axis=0)
+        dxh1 = dxn * ln1s_ref[:].astype(jnp.float32)
+        dx_ln = rstd1 * (
+            dxh1
+            - jnp.mean(dxh1, axis=-1, keepdims=True)
+            - xhat1 * jnp.mean(dxh1 * xhat1, axis=-1, keepdims=True)
+        )
+        dx = dx_ln + dh.reshape(blk, n, c)           # residual 1
+        dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    return kernel
+
+
+def fused_swin_block_bwd(
+    x_windows, dout,
+    ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+    ln2_scale, ln2_bias, w1, b1, w2, b2,
+    *,
+    num_heads: int,
+    scale: float,
+    block_windows: int = 16,
+):
+    """Backward pallas_call: returns grads for every input of the block."""
+    bw, n, c = x_windows.shape
+    head_dim = c // num_heads
+    blk = min(block_windows, bw)
+    while bw % blk:
+        blk -= 1
+    hidden = w1.shape[1]
+    kernel = _make_bwd_kernel(num_heads, head_dim, scale)
+
+    def tile(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bw // blk,),
+        out_shape=(
+            jax.ShapeDtypeStruct((bw, n, c), x_windows.dtype),  # dx
+            jax.ShapeDtypeStruct((c,), f32), jax.ShapeDtypeStruct((c,), f32),
+            jax.ShapeDtypeStruct((c, 3 * c), f32), jax.ShapeDtypeStruct((3 * c,), f32),
+            jax.ShapeDtypeStruct((num_heads, n, n), f32),
+            jax.ShapeDtypeStruct((c, c), f32), jax.ShapeDtypeStruct((c,), f32),
+            jax.ShapeDtypeStruct((c,), f32), jax.ShapeDtypeStruct((c,), f32),
+            jax.ShapeDtypeStruct((c, hidden), f32), jax.ShapeDtypeStruct((hidden,), f32),
+            jax.ShapeDtypeStruct((hidden, c), f32), jax.ShapeDtypeStruct((c,), f32),
+        ),
+        in_specs=[
+            pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            tile((c,)), tile((c,)), tile((c, 3 * c)), tile((3 * c,)),
+            tile((num_heads, n, n)),
+            tile((c, c)), tile((c,)), tile((c,)), tile((c,)),
+            tile((c, hidden)), tile((hidden,)), tile((hidden, c)), tile((c,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            tile((c,)), tile((c,)), tile((c, 3 * c)), tile((3 * c,)),
+            tile((num_heads, n, n)),
+            tile((c, c)), tile((c,)), tile((c,)), tile((c,)),
+            tile((c, hidden)), tile((hidden,)), tile((hidden, c)), tile((c,)),
+        ),
+    )(
+        x_windows, dout,
+        ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        ln2_scale, ln2_bias, w1, b1, w2, b2,
+    )
+    return outs
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(15, 16, 17)
+)
+def fused_swin_block_ad(
+    x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+    ln2_scale, ln2_bias, w1, b1, w2, b2, _unused,
+    num_heads, scale, block_windows,
+):
+    """Differentiable fused block: pallas forward + pallas backward."""
+    return fused_swin_block(
+        x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        ln2_scale, ln2_bias, w1, b1, w2, b2,
+        num_heads=num_heads, scale=scale, block_windows=block_windows,
+    )
+
+
+def _ad_fwd(
+    x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+    ln2_scale, ln2_bias, w1, b1, w2, b2, _unused,
+    num_heads, scale, block_windows,
+):
+    out = fused_swin_block(
+        x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        ln2_scale, ln2_bias, w1, b1, w2, b2,
+        num_heads=num_heads, scale=scale, block_windows=block_windows,
+    )
+    res = (
+        x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        ln2_scale, ln2_bias, w1, b1, w2, b2,
+    )
+    return out, res
+
+
+def _ad_bwd(num_heads, scale, block_windows, res, dout):
+    (
+        x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        ln2_scale, ln2_bias, w1, b1, w2, b2,
+    ) = res
+    (
+        dx, dln1s, dln1b, dwqkv, dbqkv, dbias, dwproj, dbproj,
+        dln2s, dln2b, dw1, db1, dw2, db2,
+    ) = fused_swin_block_bwd(
+        x_windows, dout,
+        ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        ln2_scale, ln2_bias, w1, b1, w2, b2,
+        num_heads=num_heads, scale=scale,
+        block_windows=min(block_windows, 16),
+    )
+    cast = lambda g, ref: g.astype(ref.dtype)  # noqa: E731
+    return (
+        dx,
+        cast(dln1s, ln1_scale), cast(dln1b, ln1_bias),
+        cast(dwqkv, wqkv), cast(dbqkv, bqkv), cast(dbias, bias),
+        cast(dwproj, wproj), cast(dbproj, bproj),
+        cast(dln2s, ln2_scale), cast(dln2b, ln2_bias),
+        cast(dw1, w1), cast(db1, b1), cast(dw2, w2), cast(db2, b2),
+        None,
+    )
+
+
+fused_swin_block_ad.defvjp(_ad_fwd, _ad_bwd)
+
+
 def make_fused_swinir(
     *,
     depths,
@@ -140,6 +460,7 @@ def make_fused_swinir(
     upscale: int = 4,
     block_windows: int | None = None,
     dtype=jnp.bfloat16,
+    differentiable: bool = False,
 ):
     """Functional SwinIR forward over the standard params tree with every
     transformer block running through :func:`fused_swin_block`.
@@ -181,7 +502,7 @@ def make_fused_swinir(
         )
         y = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
         xw = window_partition(y, ws).reshape(-1, ws * ws, c)
-        out = fused_swin_block(
+        block_args = (
             xw,
             p["norm1"]["ln"]["scale"], p["norm1"]["ln"]["bias"],
             p["attn"]["qkv"]["linear"]["kernel"].astype(dtype),
@@ -194,10 +515,16 @@ def make_fused_swinir(
             p["mlp"]["fc1"]["linear"]["bias"],
             p["mlp"]["fc2"]["linear"]["kernel"].astype(dtype),
             p["mlp"]["fc2"]["linear"]["bias"],
-            num_heads=heads,
-            scale=d**-0.5,
-            block_windows=block_windows,
         )
+        if differentiable:
+            out = fused_swin_block_ad(
+                *block_args, None, heads, d**-0.5, block_windows
+            )
+        else:
+            out = fused_swin_block(
+                *block_args,
+                num_heads=heads, scale=d**-0.5, block_windows=block_windows,
+            )
         y = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
         return jnp.roll(y, (shift, shift), axis=(1, 2)) if shift else y
 

@@ -110,8 +110,14 @@ def create_swin_train_state(
     dtype=jnp.float32,
     attn_impl: str | None = None,
     remat: bool = False,
+    fused: bool = False,
 ):
-    """Reference swin train config (train_swin.py:147-156)."""
+    """Reference swin train config (train_swin.py:147-156).
+
+    ``fused=True`` routes the generator's forward AND backward through the
+    whole-block VMEM Pallas kernels (kernels/swin_block.py) — same params
+    tree, 2x the XLA forward on-chip.
+    """
     g = SwinIR(
         img_size=img_size,
         in_chans=1,
@@ -126,7 +132,21 @@ def create_swin_train_state(
         remat=remat,
     )
     d = UNetDiscriminatorSNSwin(num_in_ch=1, num_feat=64, dtype=dtype)
-    return _make_state(rng, g, d, img_size, img_size * upscale, g_wd=0.0, d_wd=0.0)
+    state, bundle = _make_state(
+        rng, g, d, img_size, img_size * upscale, g_wd=0.0, d_wd=0.0
+    )
+    if fused:
+        from ..kernels.swin_block import make_fused_swinir
+
+        fused_fn = make_fused_swinir(
+            depths=tuple(depths), num_heads=tuple(num_heads),
+            window_size=window_size, upscale=upscale, dtype=dtype,
+            differentiable=True,
+        )
+        bundle = dataclasses.replace(
+            bundle, g_apply=lambda variables, x, *a, **k: fused_fn(variables["params"], x)
+        )
+    return state, bundle
 
 
 def create_hat_train_state(
