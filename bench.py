@@ -39,11 +39,18 @@ def main() -> None:
     p.add_argument("--mode", default="infer", choices=["infer", "train", "prep"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    p.add_argument("--impl", default="fused", choices=["xla", "pallas", "fused"])
+    p.add_argument(
+        "--impl", default=None, choices=["xla", "pallas", "fused"],
+        help="default: 'fused' for swin inference (2.1x), 'xla' for training "
+             "(the fused backward's full recompute is a net loss: 14.4 vs "
+             "32.6 patches/s measured)",
+    )
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--img-size", type=int, default=128, help="LR patch size (smoke runs)")
     args = p.parse_args()
 
+    if args.impl is None:
+        args.impl = "xla" if args.mode == "train" else "fused"
     if args.mode == "train":
         bench_train(args)
         return

@@ -435,7 +435,9 @@ def _ad_bwd(num_heads, scale, block_windows, res, dout):
         ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
         ln2_scale, ln2_bias, w1, b1, w2, b2,
         num_heads=num_heads, scale=scale,
-        block_windows=min(block_windows, 16),
+        # bwd holds fwd recompute + all grads live: 16 windows overflows
+        # scoped VMEM by ~2.8MB at C=180; 8 fits
+        block_windows=min(block_windows, 8),
     )
     cast = lambda g, ref: g.astype(ref.dtype)  # noqa: E731
     return (
