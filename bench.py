@@ -13,8 +13,9 @@ Flags:
   --arch {swin,hat}   model family (default swin)
   --batch N           patches per device call (default 8)
   --dtype {bf16,f32}  compute dtype (default bf16 — TPU-native)
-  --impl {xla,pallas,fused} attention implementation; default 'fused' =
-                      whole-block VMEM Pallas kernel (2.1x the XLA path)
+  --impl {xla,pallas,fused}  implementation; defaults per mode: 'fused'
+                      (whole-block VMEM Pallas kernel, 2.1x XLA) for swin
+                      inference, 'xla' for training
   --iters N           timed iterations (default 20)
 """
 
