@@ -132,6 +132,265 @@ def _make_kernel(num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
+def _make_kernel_fwd_h(num_heads: int, head_dim: int, scale: float):
+    """Forward that also emits h (the post-attention residual) so the split
+    backward skips recomputing the attention for the MLP half."""
+    c = num_heads * head_dim
+
+    def kernel(
+        x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref,
+        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref,
+        o_ref, h_ref,
+    ):
+        x = x_ref[:]
+        blk, n, _ = x.shape
+        dt = x.dtype
+        xn = _ln_f32(x, ln1s_ref[:], ln1b_ref[:]).astype(dt)
+        x2d = xn.reshape(blk * n, c)
+        qkv = (
+            jax.lax.dot_general(
+                x2d, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bqkv_ref[:].astype(jnp.float32)
+        ).astype(dt).reshape(blk, n, 3 * c)
+        head_outs = []
+        for i in range(num_heads):
+            q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
+            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+            a = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            a = a + bias_ref[i].astype(jnp.float32)
+            a = a - jnp.max(a, axis=-1, keepdims=True)
+            a = jnp.exp(a)
+            a = a / jnp.sum(a, axis=-1, keepdims=True)
+            head_outs.append(
+                jax.lax.dot_general(
+                    a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        attn_out = jnp.concatenate(head_outs, axis=-1)
+        proj = (
+            jax.lax.dot_general(
+                attn_out.astype(dt).reshape(blk * n, c), wproj_ref[:],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            + bproj_ref[:].astype(jnp.float32)
+        )
+        h = x.astype(jnp.float32).reshape(blk, n, c) + proj.reshape(blk, n, c)
+        h_ref[:] = h.astype(h_ref.dtype)
+        hn = _ln_f32(h, ln2s_ref[:], ln2b_ref[:]).astype(dt)
+        u = (
+            jax.lax.dot_general(
+                hn.reshape(blk * n, c), w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[:].astype(jnp.float32)
+        )
+        m = _gelu_exact(u).astype(dt)
+        m = (
+            jax.lax.dot_general(
+                m, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b2_ref[:].astype(jnp.float32)
+        )
+        o_ref[:] = (h.reshape(blk * n, c) + m).reshape(blk, n, c).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _bwd_mlp_kernel(
+    h_ref, dout_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    dh_ref, dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+):
+    """MLP+LN2 backward from the SAVED h — no attention recompute."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for r in (dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+            r[...] = jnp.zeros_like(r)
+
+    h = h_ref[:]
+    dt = h.dtype
+    blk, n, c = h.shape
+    hf = h.astype(jnp.float32).reshape(blk * n, c)
+    dout = dout_ref[:].astype(jnp.float32).reshape(blk * n, c)
+    eps = 1e-5
+
+    mu2 = jnp.mean(hf, axis=-1, keepdims=True)
+    var2 = jnp.mean((hf - mu2) ** 2, axis=-1, keepdims=True)
+    rstd2 = jax.lax.rsqrt(var2 + eps)
+    xhat2 = (hf - mu2) * rstd2
+    hn = (xhat2 * ln2s_ref[:].astype(jnp.float32) + ln2b_ref[:].astype(jnp.float32)).astype(dt)
+    u = (
+        jax.lax.dot_general(
+            hn, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[:].astype(jnp.float32)
+    )
+    g = _gelu_exact(u).astype(dt)
+
+    dm = dout
+    dw2_ref[...] += jax.lax.dot_general(
+        g, dm.astype(dt), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_ref[...] += jnp.sum(dm, axis=0)
+    dg = jax.lax.dot_general(
+        dm.astype(dt), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    phi = jnp.exp(-0.5 * u * u) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    Phi = 0.5 * (1.0 + _erf_approx(u * (2.0**-0.5)))
+    du = dg * (Phi + u * phi)
+    dw1_ref[...] += jax.lax.dot_general(
+        hn, du.astype(dt), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_ref[...] += jnp.sum(du, axis=0)
+    dhn = jax.lax.dot_general(
+        du.astype(dt), w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dln2s_ref[...] += jnp.sum(dhn * xhat2, axis=0)
+    dln2b_ref[...] += jnp.sum(dhn, axis=0)
+    dxh2 = dhn * ln2s_ref[:].astype(jnp.float32)
+    dh = rstd2 * (
+        dxh2
+        - jnp.mean(dxh2, axis=-1, keepdims=True)
+        - xhat2 * jnp.mean(dxh2 * xhat2, axis=-1, keepdims=True)
+    )
+    dh_ref[:] = (dh + dout).reshape(blk, n, c).astype(dh_ref.dtype)
+
+
+def _make_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float):
+    """Attention+LN1 backward given dh (grad at the residual-1 output)."""
+    c = num_heads * head_dim
+
+    def kernel(
+        x_ref, dh_ref,
+        ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref,
+        dx_ref, dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dbias_ref,
+        dwproj_ref, dbproj_ref,
+    ):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for r in (
+                dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dbias_ref,
+                dwproj_ref, dbproj_ref,
+            ):
+                r[...] = jnp.zeros_like(r)
+
+        x = x_ref[:]
+        dt = x.dtype
+        blk, n, _ = x.shape
+        dh = dh_ref[:].astype(jnp.float32).reshape(blk * n, c)
+        eps = 1e-5
+
+        xf = x.astype(jnp.float32)
+        mu1 = jnp.mean(xf, axis=-1, keepdims=True)
+        var1 = jnp.mean((xf - mu1) ** 2, axis=-1, keepdims=True)
+        rstd1 = jax.lax.rsqrt(var1 + eps)
+        xhat1 = (xf - mu1) * rstd1
+        xn = (xhat1 * ln1s_ref[:].astype(jnp.float32) + ln1b_ref[:].astype(jnp.float32)).astype(dt)
+        x2d = xn.reshape(blk * n, c)
+        qkv = (
+            jax.lax.dot_general(
+                x2d, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bqkv_ref[:].astype(jnp.float32)
+        ).astype(dt).reshape(blk, n, 3 * c)
+
+        dattn = jax.lax.dot_general(
+            dh.astype(dt), wproj_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(blk, n, c)
+        dbproj_ref[...] += jnp.sum(dh, axis=0)
+
+        # one pass per head: recompute a, grads, and the head's attn output
+        # (needed for dWproj) without keeping every head's a live
+        attn_parts = []
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for i in range(num_heads):
+            q = qkv[:, :, i * head_dim : (i + 1) * head_dim]
+            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+            a = jax.lax.dot_general(
+                q * jnp.asarray(scale, dt), k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            a = a + bias_ref[i].astype(jnp.float32)
+            a = a - jnp.max(a, axis=-1, keepdims=True)
+            a = jnp.exp(a)
+            a = a / jnp.sum(a, axis=-1, keepdims=True)
+            ad = a.astype(dt)
+            attn_parts.append(
+                jax.lax.dot_general(
+                    ad, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            do = dattn[:, :, i * head_dim : (i + 1) * head_dim].astype(dt)
+            da = jax.lax.dot_general(
+                do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            dv = jax.lax.dot_general(
+                ad, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+            dbias_ref[i] += jnp.sum(ds, axis=0)
+            dsd = ds.astype(dt)
+            dq_parts.append(
+                jax.lax.dot_general(
+                    dsd, k, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+            )
+            dk_parts.append(
+                jax.lax.dot_general(
+                    dsd, q, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+            )
+            dv_parts.append(dv)
+        attn_out = jnp.concatenate(attn_parts, axis=-1)
+        dwproj_ref[...] += jax.lax.dot_general(
+            attn_out.astype(dt).reshape(blk * n, c), dh.astype(dt),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dqkv2d = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1).reshape(
+            blk * n, 3 * c
+        )
+        dbqkv_ref[...] += jnp.sum(dqkv2d, axis=0)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            x2d, dqkv2d.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dxn = jax.lax.dot_general(
+            dqkv2d.astype(dt), wqkv_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(blk, n, c)
+        dln1s_ref[...] += jnp.sum((dxn * xhat1).reshape(blk * n, c), axis=0)
+        dln1b_ref[...] += jnp.sum(dxn.reshape(blk * n, c), axis=0)
+        dxh1 = dxn * ln1s_ref[:].astype(jnp.float32)
+        dx_ln = rstd1 * (
+            dxh1
+            - jnp.mean(dxh1, axis=-1, keepdims=True)
+            - xhat1 * jnp.mean(dxh1 * xhat1, axis=-1, keepdims=True)
+        )
+        dx_ref[:] = (dx_ln + dh.reshape(blk, n, c)).astype(dx_ref.dtype)
+
+    return kernel
+
+
 def _make_bwd_kernel(num_heads: int, head_dim: int, scale: float):
     """Backward of the fused block: recomputes the forward in VMEM, then
     chains gradients. Weight/bias/LN/bias-table grads accumulate across
@@ -405,18 +664,130 @@ def fused_swin_block_ad(
     )
 
 
+def fused_swin_block_fwd_h(
+    x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+    ln2_scale, ln2_bias, w1, b1, w2, b2,
+    *, num_heads, scale, block_windows,
+):
+    """Forward emitting (out, h) — h feeds the split backward."""
+    bw, n, c = x_windows.shape
+    head_dim = c // num_heads
+    blk = min(block_windows, bw)
+    while bw % blk:
+        blk -= 1
+    hidden = w1.shape[1]
+    kernel = _make_kernel_fwd_h(num_heads, head_dim, scale)
+
+    def tile(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    blk_spec = pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bw // blk,),
+        out_shape=(
+            jax.ShapeDtypeStruct((bw, n, c), x_windows.dtype),
+            jax.ShapeDtypeStruct((bw, n, c), x_windows.dtype),
+        ),
+        in_specs=[
+            blk_spec,
+            tile((c,)), tile((c,)), tile((c, 3 * c)), tile((3 * c,)),
+            tile((num_heads, n, n)), tile((c, c)), tile((c,)),
+            tile((c,)), tile((c,)), tile((c, hidden)), tile((hidden,)),
+            tile((hidden, c)), tile((c,)),
+        ],
+        out_specs=(blk_spec, blk_spec),
+    )(
+        x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        ln2_scale, ln2_bias, w1, b1, w2, b2,
+    )
+
+
+def _bwd_mlp(h, dout, ln2_scale, ln2_bias, w1, b1, w2, b2, *, block_windows=32):
+    bw, n, c = h.shape
+    hidden = w1.shape[1]
+    blk = min(block_windows, bw)
+    while bw % blk:
+        blk -= 1
+
+    def tile(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    blk_spec = pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _bwd_mlp_kernel,
+        grid=(bw // blk,),
+        out_shape=(
+            jax.ShapeDtypeStruct((bw, n, c), h.dtype),
+            jax.ShapeDtypeStruct((c,), f32), jax.ShapeDtypeStruct((c,), f32),
+            jax.ShapeDtypeStruct((c, hidden), f32), jax.ShapeDtypeStruct((hidden,), f32),
+            jax.ShapeDtypeStruct((hidden, c), f32), jax.ShapeDtypeStruct((c,), f32),
+        ),
+        in_specs=[
+            blk_spec, blk_spec,
+            tile((c,)), tile((c,)), tile((c, hidden)), tile((hidden,)),
+            tile((hidden, c)), tile((c,)),
+        ],
+        out_specs=(
+            blk_spec,
+            tile((c,)), tile((c,)), tile((c, hidden)), tile((hidden,)),
+            tile((hidden, c)), tile((c,)),
+        ),
+    )(h, dout, ln2_scale, ln2_bias, w1, b1, w2, b2)
+
+
+def _bwd_attn(
+    x, dh, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj,
+    *, num_heads, scale, block_windows=16,
+):
+    bw, n, c = x.shape
+    head_dim = c // num_heads
+    blk = min(block_windows, bw)
+    while bw % blk:
+        blk -= 1
+    kernel = _make_bwd_attn_kernel(num_heads, head_dim, scale)
+
+    def tile(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    blk_spec = pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=(bw // blk,),
+        out_shape=(
+            jax.ShapeDtypeStruct((bw, n, c), x.dtype),
+            jax.ShapeDtypeStruct((c,), f32), jax.ShapeDtypeStruct((c,), f32),
+            jax.ShapeDtypeStruct((c, 3 * c), f32), jax.ShapeDtypeStruct((3 * c,), f32),
+            jax.ShapeDtypeStruct((num_heads, n, n), f32),
+            jax.ShapeDtypeStruct((c, c), f32), jax.ShapeDtypeStruct((c,), f32),
+        ),
+        in_specs=[
+            blk_spec, blk_spec,
+            tile((c,)), tile((c,)), tile((c, 3 * c)), tile((3 * c,)),
+            tile((num_heads, n, n)), tile((c, c)),
+        ],
+        out_specs=(
+            blk_spec,
+            tile((c,)), tile((c,)), tile((c, 3 * c)), tile((3 * c,)),
+            tile((num_heads, n, n)), tile((c, c)), tile((c,)),
+        ),
+    )(x, dh, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj)
+
+
 def _ad_fwd(
     x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
     ln2_scale, ln2_bias, w1, b1, w2, b2, _unused,
     num_heads, scale, block_windows,
 ):
-    out = fused_swin_block(
+    out, h = fused_swin_block_fwd_h(
         x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
         ln2_scale, ln2_bias, w1, b1, w2, b2,
         num_heads=num_heads, scale=scale, block_windows=block_windows,
     )
     res = (
-        x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        x_windows, h, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
         ln2_scale, ln2_bias, w1, b1, w2, b2,
     )
     return out, res
@@ -424,20 +795,17 @@ def _ad_fwd(
 
 def _ad_bwd(num_heads, scale, block_windows, res, dout):
     (
-        x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        x_windows, h, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
         ln2_scale, ln2_bias, w1, b1, w2, b2,
     ) = res
-    (
-        dx, dln1s, dln1b, dwqkv, dbqkv, dbias, dwproj, dbproj,
-        dln2s, dln2b, dw1, db1, dw2, db2,
-    ) = fused_swin_block_bwd(
-        x_windows, dout,
-        ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
-        ln2_scale, ln2_bias, w1, b1, w2, b2,
+    dh, dln2s, dln2b, dw1, db1, dw2, db2 = _bwd_mlp(
+        h, dout, ln2_scale, ln2_bias, w1, b1, w2, b2,
+        block_windows=min(block_windows, 32),
+    )
+    dx, dln1s, dln1b, dwqkv, dbqkv, dbias, dwproj, dbproj = _bwd_attn(
+        x_windows, dh, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj,
         num_heads=num_heads, scale=scale,
-        # bwd holds fwd recompute + all grads live: 16 windows overflows
-        # scoped VMEM by ~2.8MB at C=180; 8 fits
-        block_windows=min(block_windows, 8),
+        block_windows=min(block_windows, 16),
     )
     cast = lambda g, ref: g.astype(ref.dtype)  # noqa: E731
     return (
