@@ -784,7 +784,9 @@ def _ad_fwd(
     out, h = fused_swin_block_fwd_h(
         x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
         ln2_scale, ln2_bias, w1, b1, w2, b2,
-        num_heads=num_heads, scale=scale, block_windows=block_windows,
+        num_heads=num_heads, scale=scale,
+        # the extra h output block pushes 32-window tiles 132KB over VMEM
+        block_windows=min(block_windows, 16),
     )
     res = (
         x_windows, h, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
@@ -805,7 +807,8 @@ def _ad_bwd(num_heads, scale, block_windows, res, dout):
     dx, dln1s, dln1b, dwqkv, dbqkv, dbias, dwproj, dbproj = _bwd_attn(
         x_windows, dh, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj,
         num_heads=num_heads, scale=scale,
-        block_windows=min(block_windows, 16),
+        # attention-bwd live set overflows VMEM by 1.4MB at 16 windows
+        block_windows=min(block_windows, 8),
     )
     cast = lambda g, ref: g.astype(ref.dtype)  # noqa: E731
     return (
