@@ -93,6 +93,23 @@ def main() -> None:
 
         def apply_fn(params, x):
             return model.apply({"params": params}, x)
+    elif args.impl == "fused":
+        from superresolution_def_tpu.models import HybridHATRealESRGAN
+        from superresolution_def_tpu.kernels.fused_hat import make_fused_hybrid
+
+        model = HybridHATRealESRGAN(
+            img_size=args.img_size, in_chans=1, embed_dim=90, depths=(6, 6, 6, 6),
+            num_heads=(6, 6, 6, 6), window_size=8, upscale=4,
+            num_rrdb=12, num_feat=48, num_grow_ch=24, dtype=dtype,
+        )
+        metric = "hat_hybrid_x4_128to512_patches_per_sec_per_chip"
+        hy_fn = make_fused_hybrid(
+            depths=(6, 6, 6, 6), num_heads=(6, 6, 6, 6), window_size=8,
+            num_rrdb=12, dtype=dtype,
+        )
+
+        def apply_fn(params, x):
+            return hy_fn(params, x)
     else:
         from superresolution_def_tpu.models import HybridHATRealESRGAN
 
@@ -100,7 +117,7 @@ def main() -> None:
             img_size=args.img_size, in_chans=1, embed_dim=90, depths=(6, 6, 6, 6),
             num_heads=(6, 6, 6, 6), window_size=8, upscale=4,
             num_rrdb=12, num_feat=48, num_grow_ch=24,
-            dtype=dtype, attn_impl=None if args.impl == "fused" else args.impl,
+            dtype=dtype, attn_impl=args.impl,
         )
         metric = "hat_hybrid_x4_128to512_patches_per_sec_per_chip"
 

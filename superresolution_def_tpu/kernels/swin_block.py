@@ -132,6 +132,129 @@ def _make_kernel(num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
+def _make_hab_kernel(num_heads: int, head_dim: int, scale: float, conv_scale: float):
+    """HAB forward (hat_arch.py:199-309) as one VMEM kernel: LN1 -> masked
+    W-MSA (+rel-pos bias) -> proj -> + x + conv_scale*conv_x -> LN2 -> MLP.
+    The CAB conv branch (spatial 3x3s) is computed by XLA outside and fed
+    in window layout; the shift mask comes pre-tiled per window."""
+    c = num_heads * head_dim
+
+    def kernel(
+        x_ref, convx_ref, mask_ref,
+        ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref,
+        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref,
+        o_ref,
+    ):
+        x = x_ref[:]
+        blk, n, _ = x.shape
+        dt = x.dtype
+        xn = _ln_f32(x, ln1s_ref[:], ln1b_ref[:]).astype(dt)
+        x2d = xn.reshape(blk * n, c)
+        qkv = (
+            jax.lax.dot_general(
+                x2d, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bqkv_ref[:].astype(jnp.float32)
+        ).astype(dt).reshape(blk, n, 3 * c)
+        head_outs = []
+        for i in range(num_heads):
+            q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
+            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+            a = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            a = a + bias_ref[i].astype(jnp.float32)
+            a = a + mask_ref[:].astype(jnp.float32)
+            a = a - jnp.max(a, axis=-1, keepdims=True)
+            a = jnp.exp(a)
+            a = a / jnp.sum(a, axis=-1, keepdims=True)
+            head_outs.append(
+                jax.lax.dot_general(
+                    a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        attn_out = jnp.concatenate(head_outs, axis=-1)
+        proj = (
+            jax.lax.dot_general(
+                attn_out.astype(dt).reshape(blk * n, c), wproj_ref[:],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            + bproj_ref[:].astype(jnp.float32)
+        )
+        h = (
+            x.astype(jnp.float32).reshape(blk * n, c)
+            + proj
+            + conv_scale * convx_ref[:].astype(jnp.float32).reshape(blk * n, c)
+        )
+        hn = _ln_f32(h.astype(dt).reshape(blk, n, c), ln2s_ref[:], ln2b_ref[:]).astype(dt)
+        m = (
+            jax.lax.dot_general(
+                hn.reshape(blk * n, c), w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[:].astype(jnp.float32)
+        )
+        m = _gelu_exact(m).astype(dt)
+        m = (
+            jax.lax.dot_general(
+                m, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b2_ref[:].astype(jnp.float32)
+        )
+        o_ref[:] = (h + m).reshape(blk, n, c).astype(dt)
+
+    return kernel
+
+
+def fused_hab_block(
+    x_windows, convx_windows, mask_tiled,
+    ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+    ln2_scale, ln2_bias, w1, b1, w2, b2,
+    *,
+    num_heads: int,
+    scale: float,
+    conv_scale: float = 0.01,
+    block_windows: int = 16,
+):
+    """Fused HAB (inference). mask_tiled: (Bw, N, N) additive shift mask
+    (zeros for unshifted blocks)."""
+    bw, n, c = x_windows.shape
+    head_dim = c // num_heads
+    blk = min(block_windows, bw)
+    while bw % blk:
+        blk -= 1
+    hidden = w1.shape[1]
+    kernel = _make_hab_kernel(num_heads, head_dim, scale, conv_scale)
+
+    def tile(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    blk_spec = pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bw // blk,),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), x_windows.dtype),
+        in_specs=[
+            blk_spec, blk_spec,
+            pl.BlockSpec((blk, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            tile((c,)), tile((c,)), tile((c, 3 * c)), tile((3 * c,)),
+            tile((num_heads, n, n)), tile((c, c)), tile((c,)),
+            tile((c,)), tile((c,)), tile((c, hidden)), tile((hidden,)),
+            tile((hidden, c)), tile((c,)),
+        ],
+        out_specs=blk_spec,
+    )(
+        x_windows, convx_windows, mask_tiled,
+        ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
+        ln2_scale, ln2_bias, w1, b1, w2, b2,
+    )
+
+
 def _make_kernel_fwd_h(num_heads: int, head_dim: int, scale: float):
     """Forward that also emits h (the post-attention residual) so the split
     backward skips recomputing the attention for the MLP half."""

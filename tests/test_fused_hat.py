@@ -1,0 +1,28 @@
+"""Fused-HAB hybrid forward vs the flax model (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental.pallas import tpu as pltpu
+
+from superresolution_def_tpu.models import HybridHATRealESRGAN
+from superresolution_def_tpu.kernels.fused_hat import make_fused_hybrid
+
+
+def test_fused_hybrid_matches_flax_fp32():
+    model = HybridHATRealESRGAN(
+        img_size=16, in_chans=1, embed_dim=30, depths=(2,), num_heads=(6,),
+        window_size=8, upscale=4, num_rrdb=1, num_feat=16, num_grow_ch=8,
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 1), np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x, True)
+
+    fn = make_fused_hybrid(
+        depths=(2,), num_heads=(6,), window_size=8, num_rrdb=1,
+        dtype=jnp.float32, block_windows=4,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = fn(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=2e-4)
