@@ -5,9 +5,12 @@ Prints ONE JSON line:
 
 Config = BASELINE.json config #1 / north-star metric (SR patches/sec/chip,
 x4 128->512, flagship SwinIR at the reference train config,
-train_swin.py:147-149). vs_baseline compares against the torch reference's
-own implementation measured on this host's CPU (BENCH_BASELINE.json — the
-reference publishes no numbers and no CUDA device exists here).
+train_swin.py:147-149, at the reference-EFFECTIVE mlp_ratio=4: the torch
+constructor swallows the passed 2 into **kwargs, architecture_swin.py:100,
+193-194). vs_baseline compares against the torch reference's own
+implementation at the identical effective config measured on this host's
+CPU (BENCH_BASELINE.json — the reference publishes no numbers and no CUDA
+device exists here).
 
 Flags:
   --arch {swin,hat}   model family (default swin)
@@ -70,7 +73,7 @@ def main() -> None:
 
         model = SwinIR(
             img_size=args.img_size, in_chans=1, embed_dim=180, depths=(6,) * 6,
-            num_heads=(6,) * 6, window_size=8, mlp_ratio=2.0, upscale=4,
+            num_heads=(6,) * 6, window_size=8, mlp_ratio=4.0, upscale=4,
             dtype=dtype,
         )
         metric = "swinir_x4_128to512_patches_per_sec_per_chip"
@@ -86,7 +89,7 @@ def main() -> None:
 
         model = SwinIR(
             img_size=args.img_size, in_chans=1, embed_dim=180, depths=(6,) * 6,
-            num_heads=(6,) * 6, window_size=8, mlp_ratio=2.0, upscale=4,
+            num_heads=(6,) * 6, window_size=8, mlp_ratio=4.0, upscale=4,
             dtype=dtype, attn_impl=args.impl,
         )
         metric = "swinir_x4_128to512_patches_per_sec_per_chip"

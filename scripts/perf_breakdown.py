@@ -1,0 +1,141 @@
+"""Op-class / component time breakdown on the real chip (chained timing).
+
+Writes the measurements that PERF.md cites. Components are timed as
+separately-jitted chained loops (each iteration's input depends on the
+previous output) because per-op profiling over the axon tunnel is
+unreliable (see STATUS.md environment notes).
+
+Usage:
+  python scripts/perf_breakdown.py --what hybrid   # HAT vs RRDB vs head
+  python scripts/perf_breakdown.py --what swin     # fused vs xla, per stage
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+
+def chained_time(fn, x, n=12, reps=3):
+    """Median end-to-end time of n chained applications of fn."""
+    import jax
+
+    @jax.jit
+    def loop(x0):
+        def body(_, c):
+            return fn(c)
+
+        return jax.lax.fori_loop(0, n, body, x0)
+
+    loop(x).block_until_ready()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        loop(x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return min(times) / n
+
+
+def hybrid_breakdown(batch=8, dtype_name="bf16"):
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_def_tpu.models import HybridHATRealESRGAN
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    model = HybridHATRealESRGAN(
+        img_size=128, in_chans=1, embed_dim=90, depths=(6, 6, 6, 6),
+        num_heads=(6, 6, 6, 6), window_size=8, upscale=4,
+        num_rrdb=12, num_feat=48, num_grow_ch=24, dtype=dtype,
+    )
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 128, 128, 1), jnp.float32))["params"]
+
+    from superresolution_def_tpu.kernels.fused_hat import _conv3
+
+    results = {}
+
+    # full model, XLA
+    def full_xla(x):
+        out = model.apply({"params": params}, x.astype(dtype), True)
+        return out[:, ::4, ::4, :].astype(x.dtype)
+
+    results["full_xla"] = chained_time(full_xla, jnp.zeros((batch, 128, 128, 1), dtype))
+
+    # RRDB trunk only, at the HAT-output shape (batch, 256, 256, 48)
+    def rdb(p, x):
+        def lrelu2(v):
+            return jnp.where(v >= 0, v, v * 0.2)
+        x1 = lrelu2(_conv3(p["conv1"], x))
+        x2 = lrelu2(_conv3(p["conv2"], jnp.concatenate([x, x1], -1)))
+        x3 = lrelu2(_conv3(p["conv3"], jnp.concatenate([x, x1, x2], -1)))
+        x4 = lrelu2(_conv3(p["conv4"], jnp.concatenate([x, x1, x2, x3], -1)))
+        x5 = _conv3(p["conv5"], jnp.concatenate([x, x1, x2, x3, x4], -1))
+        return x5 * 0.2 + x
+
+    def trunk(x):
+        t = x
+        for r in range(12):
+            p = params[f"rrdb_trunk_{r}"]
+            t = rdb(p["rdb1"], t)
+            t = rdb(p["rdb2"], t)
+            t = rdb(p["rdb3"], t)
+        return t
+
+    xt = jnp.zeros((batch, 256, 256, 48), dtype)
+    results["rrdb_trunk_x12"] = chained_time(trunk, xt)
+
+    # HAT backbone only (x2 SR: 128 -> 256)
+    from superresolution_def_tpu.models.hat import HAT
+
+    hat = HAT(
+        img_size=128, in_chans=1, embed_dim=90, depths=(6, 6, 6, 6),
+        num_heads=(6, 6, 6, 6), window_size=8, upscale=2,
+        upsampler="pixelshuffle", img_range=1.0, dtype=dtype,
+    )
+    hp = params["hat"]
+
+    def hat_only(x):
+        out = hat.apply({"params": hp}, x.astype(dtype), True)
+        return out[:, ::2, ::2, :]
+
+    results["hat_backbone"] = chained_time(hat_only, jnp.zeros((batch, 128, 128, 1), dtype))
+
+    # head convs at 256/512: conv_adapt + conv_body + up + hr + last
+    from superresolution_def_tpu.ops.resize import resize_nearest
+
+    def head(x):
+        def lrelu2(v):
+            return jnp.where(v >= 0, v, v * 0.2)
+        feat = lrelu2(_conv3(params["conv_adapt"], x))
+        feat = feat + _conv3(params["conv_body"], feat)
+        feat = lrelu2(_conv3(params["conv_up"], resize_nearest(feat, 2)))
+        out = _conv3(params["conv_last"], lrelu2(_conv3(params["conv_hr"], feat)))
+        return out[:, ::2, ::2, :1]
+
+    results["head_convs"] = chained_time(head, jnp.zeros((batch, 256, 256, 1), dtype))
+
+    for k, v in results.items():
+        print(f"{k:>16}: {v*1000:8.2f} ms/iter  ({batch/v:7.2f} patches/s)")
+    print(json.dumps({k: round(v * 1000, 3) for k, v in results.items()}))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--what", default="hybrid", choices=["hybrid"])
+    p.add_argument("--batch", type=int, default=8)
+    args = p.parse_args()
+    hybrid_breakdown(batch=args.batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -72,7 +72,10 @@ class SwinTrainConfig:
     depths: tuple = (6,) * 6
     num_heads: tuple = (6,) * 6
     window_size: int = 8
-    mlp_ratio: float = 2.0
+    # train_swin.py:149 passes mlp_ratio=2, but the reference constructor
+    # swallows it into **kwargs (architecture_swin.py:193-194) and every
+    # block builds the default 4 (:100) — so the reference-parity value is 4.
+    mlp_ratio: float = 4.0
     use_bf16: bool = False
     attn_impl: str | None = None
     remat: bool = False

@@ -186,12 +186,13 @@ def make_fused_hybrid(
         return jnp.where(x >= 0, x, x * 0.2)
 
     def rdb(p, x):
-        x1 = lrelu2(_conv3(p["conv1"], x))
-        x2 = lrelu2(_conv3(p["conv2"], jnp.concatenate([x, x1], -1)))
-        x3 = lrelu2(_conv3(p["conv3"], jnp.concatenate([x, x1, x2], -1)))
-        x4 = lrelu2(_conv3(p["conv4"], jnp.concatenate([x, x1, x2, x3], -1)))
-        x5 = _conv3(p["conv5"], jnp.concatenate([x, x1, x2, x3, x4], -1))
-        return x5 * 0.2 + x
+        from ..models.hybrid import dense_block_packed
+
+        ks = [p[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6)]
+        bs = [p[f"conv{i}"]["conv"]["bias"] for i in range(1, 6)]
+        num_feat = ks[0].shape[2]
+        num_grow = ks[0].shape[3]
+        return dense_block_packed(ks, bs, x, num_feat, num_grow, x.dtype)
 
     def rrdb(p, x):
         out = rdb(p["rdb1"], x)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -44,8 +45,80 @@ class KConv(nn.Module):
         )(x)
 
 
+class _ConvKB(nn.Module):
+    """Registers a 3x3 conv's kernel+bias (same tree as KConv) WITHOUT
+    applying it — the packed dense-block forward consumes weight slices."""
+
+    shape: tuple  # (3, 3, in_features, out_features)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kaiming_normal_init, self.shape, jnp.float32)
+        b = self.param("bias", _zeros_bias, (self.shape[-1],))
+        return k, b
+
+
+class _ConvP(nn.Module):
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ConvKB(self.shape, name="conv")()
+
+
+def dense_block_packed(kernels, biases, x, num_feat: int, num_grow_ch: int, dtype):
+    """5-conv dense block evaluated as output-packed convs (TPU MXU layout).
+
+    The reference computes conv_i(concat(x, x1..x_{i-1})) — five convs with
+    24/48 output channels, i.e. <=37% of the MXU's 128 lanes. Reassociating
+    by SOURCE instead of destination, each tensor's contributions to all
+    later convs become ONE wide conv (144/120/96/72/48 output channels):
+    identical math (conv is linear in its input-channel blocks; per-conv
+    sums are reassembled before bias+activation), same FLOPs, ~2.5x less
+    padded-MXU work. Partial sums accumulate in fp32.
+
+    kernels/biases: the five (3,3,Cin_i,Cout_i)/(Cout_i,) reference-shaped
+    weights of conv1..conv5 (hybridmodels_hat.py:21-44 layout).
+    """
+    f, g = num_feat, num_grow_ch
+    offs = [0, f, f + g, f + 2 * g, f + 3 * g]
+    sizes = [f, g, g, g, g]
+
+    def conv(v, k):
+        return jax.lax.conv_general_dilated(
+            v.astype(dtype), k.astype(dtype), (1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = [None] * 5  # fp32 pre-activation accumulator per conv
+    cur = x
+    for s in range(5):  # source: x, x1, x2, x3, x4
+        # source s feeds convs s..4; concat its kernel slices along Cout
+        pack = jnp.concatenate(
+            [kernels[i][:, :, offs[s] : offs[s] + sizes[s], :] for i in range(s, 5)],
+            axis=-1,
+        )
+        y = conv(cur, pack)
+        pos = 0
+        for i in range(s, 5):
+            w = kernels[i].shape[-1]
+            part = y[..., pos : pos + w]
+            acc[i] = part if acc[i] is None else acc[i] + part
+            pos += w
+        # conv s is now complete: bias + activation -> next source
+        pre = acc[s] + biases[s].astype(jnp.float32)
+        cur = (leaky_relu(pre, 0.2) if s < 4 else pre).astype(dtype)
+    return cur * 0.2 + x.astype(dtype)
+
+
 class ResidualDenseBlock(nn.Module):
-    """5-conv dense block, 0.2 residual scale (hybridmodels_hat.py:21-44)."""
+    """5-conv dense block, 0.2 residual scale (hybridmodels_hat.py:21-44).
+
+    Parameter tree and numerics match the reference layout (conv1..conv5
+    consuming channel-concatenated inputs); the forward runs the packed
+    reassociation (see :func:`dense_block_packed`)."""
 
     num_feat: int
     num_grow_ch: int
@@ -53,29 +126,15 @@ class ResidualDenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x1 = leaky_relu(KConv(self.num_grow_ch, dtype=self.dtype, name="conv1")(x), 0.2)
-        x2 = leaky_relu(
-            KConv(self.num_grow_ch, dtype=self.dtype, name="conv2")(
-                jnp.concatenate([x, x1], -1)
-            ),
-            0.2,
-        )
-        x3 = leaky_relu(
-            KConv(self.num_grow_ch, dtype=self.dtype, name="conv3")(
-                jnp.concatenate([x, x1, x2], -1)
-            ),
-            0.2,
-        )
-        x4 = leaky_relu(
-            KConv(self.num_grow_ch, dtype=self.dtype, name="conv4")(
-                jnp.concatenate([x, x1, x2, x3], -1)
-            ),
-            0.2,
-        )
-        x5 = KConv(self.num_feat, dtype=self.dtype, name="conv5")(
-            jnp.concatenate([x, x1, x2, x3, x4], -1)
-        )
-        return x5 * 0.2 + x
+        f, g = self.num_feat, self.num_grow_ch
+        ks, bs = [], []
+        for i, (cin, cout) in enumerate(
+            [(f, g), (f + g, g), (f + 2 * g, g), (f + 3 * g, g), (f + 4 * g, f)]
+        ):
+            k, b = _ConvP((3, 3, cin, cout), name=f"conv{i + 1}")()
+            ks.append(k)
+            bs.append(b)
+        return dense_block_packed(ks, bs, x, f, g, self.dtype)
 
 
 class RRDBBlock(nn.Module):

@@ -106,7 +106,10 @@ def create_swin_train_state(
     depths=(6,) * 6,
     num_heads=(6,) * 6,
     window_size: int = 8,
-    mlp_ratio: float = 2.0,
+    # reference-EFFECTIVE value: train_swin.py:149 passes 2 but the torch
+    # constructor swallows it and blocks default to 4 (architecture_swin.py
+    # :100,193-194)
+    mlp_ratio: float = 4.0,
     dtype=jnp.float32,
     attn_impl: str | None = None,
     remat: bool = False,
