@@ -94,6 +94,72 @@ def hybrid_breakdown(batch=8, dtype_name="bf16"):
     xt = jnp.zeros((batch, 256, 256, 48), dtype)
     results["rrdb_trunk_x12"] = chained_time(trunk, xt)
 
+    # variants: packed forward with bf16 partial sums, vs the reference
+    # concat formulation (what round-1 shipped)
+    from superresolution_def_tpu.models.hybrid import dense_block_packed
+
+    def rdb_packed_bf16(p, x):
+        ks = [p[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6)]
+        bs = [p[f"conv{i}"]["conv"]["bias"] for i in range(1, 6)]
+        f, g = ks[0].shape[2], ks[0].shape[3]
+        offs = [0, f, f + g, f + 2 * g, f + 3 * g]
+        sizes = [f, g, g, g, g]
+
+        def conv(v, k):
+            return jax.lax.conv_general_dilated(
+                v.astype(dtype), k.astype(dtype), (1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        acc = [None] * 5
+        cur = x
+        for s in range(5):
+            pack = jnp.concatenate(
+                [ks[i][:, :, offs[s] : offs[s] + sizes[s], :] for i in range(s, 5)], -1
+            )
+            y = conv(cur, pack)
+            pos = 0
+            for i in range(s, 5):
+                w = ks[i].shape[-1]
+                part = y[..., pos : pos + w]
+                acc[i] = part if acc[i] is None else acc[i] + part
+                pos += w
+            pre = acc[s] + bs[s].astype(dtype)
+            cur = jnp.where(pre >= 0, pre, pre * 0.2) if s < 4 else pre
+        return cur * 0.2 + x
+
+    def rdb_naive(p, x):
+        def lrelu2(v):
+            return jnp.where(v >= 0, v, v * 0.2)
+        x1 = lrelu2(_conv3(p["conv1"], x))
+        x2 = lrelu2(_conv3(p["conv2"], jnp.concatenate([x, x1], -1)))
+        x3 = lrelu2(_conv3(p["conv3"], jnp.concatenate([x, x1, x2], -1)))
+        x4 = lrelu2(_conv3(p["conv4"], jnp.concatenate([x, x1, x2, x3], -1)))
+        x5 = _conv3(p["conv5"], jnp.concatenate([x, x1, x2, x3, x4], -1))
+        return x5 * 0.2 + x
+
+    def make_trunk(rdb_fn):
+        def t_fn(x):
+            t = x
+            for r in range(12):
+                p = params[f"rrdb_trunk_{r}"]
+                t = rdb_fn(p["rdb1"], t)
+                t = rdb_fn(p["rdb2"], t)
+                t = rdb_fn(p["rdb3"], t)
+            return t
+        return t_fn
+
+    results["trunk_packed_bf16"] = chained_time(make_trunk(rdb_packed_bf16), xt)
+    results["trunk_naive"] = chained_time(make_trunk(rdb_naive), xt)
+
+    from superresolution_def_tpu.kernels.fused_rdb import fused_rrdb_trunk
+
+    def trunk_fused(x):
+        return fused_rrdb_trunk(params, x, 12)
+
+    results["trunk_fused_rdb"] = chained_time(trunk_fused, xt)
+
     # HAT backbone only (x2 SR: 128 -> 256)
     from superresolution_def_tpu.models.hat import HAT
 

@@ -198,11 +198,20 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
             f"({cfg.batch_size}/chip x {ndev} chips x {cfg.accum_steps} accum "
             f"= {per_step}); add data or lower batch/accum"
         )
+    # per-host stream: each process loads a disjoint rank-strided slice of
+    # the epoch (DistributedSampler semantics, train_swin.py:141-145) and
+    # shard_batch assembles the global array from the local shards
+    pidx, pcount = jax.process_index(), jax.process_count()
+    assert per_step % pcount == 0 and ndev % pcount == 0
     it = DataIterator(
-        train_ds, per_step, shuffle=True, drop_last=True,
+        train_ds, per_step // pcount, shuffle=True, drop_last=True,
         num_threads=cfg.num_workers, seed=cfg.seed,
+        process_index=pidx, process_count=pcount,
     )
-    val_it = DataIterator(val_ds, 1, shuffle=False, num_threads=2)
+    val_it = DataIterator(
+        val_ds, ndev // pcount, shuffle=False, num_threads=2,
+        process_index=pidx, process_count=pcount,
+    )
 
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     state, bundle = create_swin_train_state(
@@ -250,7 +259,7 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
         for bi, batch in enumerate(it.epoch(epoch)):
             if cfg.max_steps_per_epoch and bi >= cfg.max_steps_per_epoch:
                 break
-            b = shard_batch(_reshape_accum(batch, cfg.accum_steps, micro), mesh)
+            b = shard_batch(_reshape_accum(batch, cfg.accum_steps, micro // pcount), mesh)
             state, m = step(state, b, lr_g, lr_d)
             g_sum += float(m["loss_g"]) * float(m["valid_batches"])
             d_sum += float(m["loss_d"]) * float(m["valid_batches"])
@@ -264,11 +273,14 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
         for vi, vb in enumerate(val_it.epoch(0)):
             if cfg.max_steps_per_epoch and vi >= cfg.max_steps_per_epoch:
                 break
-            out = eval_step(state, vb)
+            out = eval_step(state, shard_batch(vb, mesh, batch_axis=0))
+            # psnr/ssim/count come out replicated (global sums over the
+            # sharded batch) — no host-side all-reduce needed
             psnr_sum += float(out["psnr_sum"])
             ssim_sum += float(out["ssim_sum"])
             count += float(out["count"])
-            preview = (vb, np.asarray(out["sr"]))
+            # first addressable shard = master's first local sample
+            preview = (vb, np.asarray(out["sr"].addressable_data(0)))
         val_psnr = psnr_sum / max(count, 1.0)
         val_ssim = ssim_sum / max(count, 1.0)
 
@@ -322,9 +334,14 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
             f"({cfg.batch_size}/chip x {ndev} chips x {cfg.accum_steps} accum "
             f"= {per_step}); add data or lower batch/accum"
         )
+    # per-host disjoint stream (DistributedSampler semantics) — see
+    # train_swin_run; shard_batch builds global arrays from local shards
+    pidx, pcount = jax.process_index(), jax.process_count()
+    assert per_step % pcount == 0 and ndev % pcount == 0
     it = DataIterator(
-        train_ds, per_step, shuffle=True, drop_last=True,
+        train_ds, per_step // pcount, shuffle=True, drop_last=True,
         num_threads=cfg.num_workers, seed=cfg.seed,
+        process_index=pidx, process_count=pcount,
     )
 
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
@@ -385,7 +402,7 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
         for bi, batch in enumerate(it.epoch(epoch)):
             if cfg.max_steps_per_epoch and bi >= cfg.max_steps_per_epoch:
                 break
-            b = shard_batch(_reshape_accum(batch, cfg.accum_steps, micro), mesh)
+            b = shard_batch(_reshape_accum(batch, cfg.accum_steps, micro // pcount), mesh)
             state, m = step(state, b, lr_now, lr_d_now, warmup=warmup)
             sums["g"] += float(m["loss_g"]); sums["l1"] += float(m["l1"])
             sums["adv"] += float(m["g_adv"]); sums["d"] += float(m["loss_d"])

@@ -34,25 +34,19 @@ class CSVLogger:
 
 
 class TensorBoardLogger:
-    """Thin TF-summary wrapper; degrades to no-op if TF is unavailable."""
+    """TensorBoard scalar logging with no TF dependency.
+
+    Uses the in-repo tfevents writer (obs/tbevents.py) so the capability is
+    unconditional — like the reference's torch.utils.tensorboard
+    (train_swin.py:118,305), which also writes event files without TF."""
 
     def __init__(self, log_dir: str | Path):
-        self.writer = None
-        try:
-            import tensorflow as tf  # noqa: F401
+        from .tbevents import EventFileWriter
 
-            self.writer = tf.summary.create_file_writer(str(log_dir))
-        except Exception:
-            pass
+        self.writer = EventFileWriter(log_dir)
 
     def scalar(self, tag: str, value: float, step: int) -> None:
-        if self.writer is None:
-            return
-        import tensorflow as tf
-
-        with self.writer.as_default():
-            tf.summary.scalar(tag, float(value), step=step)
+        self.writer.scalar(tag, float(value), step)
 
     def flush(self) -> None:
-        if self.writer is not None:
-            self.writer.flush()
+        self.writer.flush()

@@ -58,10 +58,21 @@ def shard_batch(batch: Mapping[str, np.ndarray], mesh: Mesh, batch_axis: int = 1
 
     Batch-axis size must divide the mesh size (the iterator's
     DistributedSampler-style padding guarantees this for whole epochs).
+
+    Multi-host: each process passes only ITS slice of the global batch (the
+    per-host ``DataIterator`` stream); the global array is assembled from
+    process-local shards without any cross-host data movement — the
+    TPU-native form of DistributedSampler + per-rank loaders
+    (train_swin.py:141-145).
     """
+    multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
-        out[k] = jax.device_put(v, batch_sharding(mesh, batch_axis, v.ndim))
+        sh = batch_sharding(mesh, batch_axis, v.ndim)
+        if multihost:
+            out[k] = jax.make_array_from_process_local_data(sh, np.asarray(v))
+        else:
+            out[k] = jax.device_put(v, sh)
     return out
 
 

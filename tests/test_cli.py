@@ -12,6 +12,9 @@ from superresolution_def_tpu.cli.main import (
 from superresolution_def_tpu.data import ManifestEntry, write_manifest
 
 
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
+
 def test_get_available_targets_scans_train_json(tmp_path):
     for t, has in (("M1", True), ("M33", True), ("JUNK", False)):
         d = tmp_path / t / "8_dataset_split" / "splits_json"

@@ -90,9 +90,33 @@ def test_iterator_sharding_covers_and_aligns(tmp_path):
     i1 = its[0]._indices(1)
     assert np.array_equal(i1, its[0]._indices(1))
     assert not np.array_equal(i1, its[0]._indices(2))
-    # ranks partition the padded permutation
+    # ranks cover the padded permutation: every sample appears
     both = np.concatenate([its[0]._indices(1), its[1]._indices(1)])
-    assert set(both.tolist()) == set(range(10)) | set(both.tolist())
+    assert set(both.tolist()) == set(range(10))
+
+
+def test_iterator_multihost_partition_exact(tmp_path):
+    """Two simulated hosts' index streams partition each epoch disjointly and
+    exactly — the property DistributedSampler exists for (train_swin.py:
+    141-145); identical per-host data = silently wrong gradients."""
+    entries = _make_pairs(tmp_path, n=12)
+    ds = PatchDataset(entries, lr_size=16, hr_size=64)
+    # the trainers' wiring: global per-step batch 12, 2 hosts -> 6 per host
+    its = [
+        DataIterator(
+            ds, batch_size=6, shuffle=True, drop_last=True, seed=0,
+            process_index=p, process_count=2,
+        )
+        for p in range(2)
+    ]
+    for epoch in (1, 2, 5):
+        streams = [it._indices(epoch) for it in its]
+        assert len(streams[0]) == len(streams[1]) == 6
+        s0, s1 = set(streams[0].tolist()), set(streams[1].tolist())
+        assert s0.isdisjoint(s1), "hosts fed overlapping samples"
+        assert s0 | s1 == set(range(12)), "epoch not exactly covered"
+    # different epochs shuffle differently but keep the partition property
+    assert not np.array_equal(its[0]._indices(1), its[0]._indices(2))
 
 
 def test_corrupt_file_substitution(tmp_path):

@@ -21,6 +21,9 @@ from tests._torch_ref import (
 RNG = np.random.default_rng(11)
 
 
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
+
 def _run_parity(RefCls, OurCls, port_fn, size, nf=8, atol=2e-4):
     torch.manual_seed(0)
     ref = RefCls(num_in_ch=1, num_feat=nf)

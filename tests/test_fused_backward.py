@@ -13,6 +13,9 @@ C, HEADS, N, HID = 16, 2, 64, 32
 SCALE = (C // HEADS) ** -0.5
 
 
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
+
 def _ref_block(x, ln1s, ln1b, wqkv, bqkv, bias, wproj, bproj,
                ln2s, ln2b, w1, b1, w2, b2):
     def ln(v, s, b):

@@ -11,6 +11,9 @@ from superresolution_def_tpu.models import SwinIR
 from superresolution_def_tpu.kernels.swin_block import make_fused_swinir
 
 
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
+
 def test_fused_forward_matches_flax_fp32():
     model = SwinIR(
         img_size=16, in_chans=1, embed_dim=16, depths=(2,), num_heads=(2,),

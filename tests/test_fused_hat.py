@@ -1,5 +1,6 @@
 """Fused-HAB hybrid forward vs the flax model (interpret mode)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,9 @@ from jax.experimental.pallas import tpu as pltpu
 from superresolution_def_tpu.models import HybridHATRealESRGAN
 from superresolution_def_tpu.kernels.fused_hat import make_fused_hybrid
 
+
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
 
 def test_fused_hybrid_matches_flax_fp32():
     model = HybridHATRealESRGAN(

@@ -16,6 +16,9 @@ from tests._torch_ref import load_reference_hat, load_reference_hybrid
 RNG = np.random.default_rng(7)
 
 
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
+
 def test_hat_forward_matches_torch():
     RefHAT = load_reference_hat()
     torch.manual_seed(0)

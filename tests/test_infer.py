@@ -1,5 +1,6 @@
 """Inference CLI tests: checkpoint discovery, shape sniffing, tiling, run_test."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,9 @@ from superresolution_def_tpu.cli.infer import (
 from superresolution_def_tpu.data import ManifestEntry, write_manifest, write_tiff_u16
 from superresolution_def_tpu.train import create_swin_train_state
 
+
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
 
 def _tiny_run(tmp_path, name="T1_DDP_SwinIR"):
     state, bundle = create_swin_train_state(

@@ -1,11 +1,15 @@
 """Rematerialization: identical outputs and gradients, less live memory."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from superresolution_def_tpu.models import SwinIR, HybridHATRealESRGAN
 
+
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
 
 def test_swinir_remat_outputs_and_grads_match():
     kwargs = dict(

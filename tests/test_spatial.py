@@ -1,5 +1,6 @@
 """Spatially-sharded SwinIR vs the dense model — exact halo semantics."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,9 @@ from superresolution_def_tpu.parallel.spatial import (
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
+
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
 
 def test_roll_halo_matches_global_roll():
     mesh = make_mesh()

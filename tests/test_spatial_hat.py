@@ -1,5 +1,6 @@
 """Spatially-sharded HAT / Hybrid vs dense models — exact halo semantics."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,9 @@ from superresolution_def_tpu.parallel.spatial_hat import (
     make_spatial_hybrid,
 )
 
+
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
 
 def test_spatial_hat_matches_dense():
     mesh = make_mesh()

@@ -12,6 +12,9 @@ from tests._torch_ref import load_reference_srvgg
 RNG = np.random.default_rng(9)
 
 
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
+
 @pytest.mark.parametrize("act", ["prelu", "relu", "leakyrelu"])
 def test_srvgg_matches_torch(act):
     Ref = load_reference_srvgg()

@@ -16,6 +16,9 @@ from tests._torch_ref import load_reference_swinir
 RNG = np.random.default_rng(42)
 
 
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
+
 def make_pair(img_size=32, embed_dim=60, depths=(2, 2), heads=(6, 6), ws=8, upscale=4):
     RefSwinIR = load_reference_swinir()
     torch.manual_seed(0)

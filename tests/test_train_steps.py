@@ -1,5 +1,6 @@
 """End-to-end train-step tests on tiny configs (CPU, fp32)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,9 @@ from superresolution_def_tpu.train import (
     cosine_annealing_lr,
 )
 
+
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
 
 def _batch(accum, b, lr_size, hr_size, seed=0):
     rng = np.random.default_rng(seed)

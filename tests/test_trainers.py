@@ -12,6 +12,9 @@ from superresolution_def_tpu.cli.trainers import (
 from superresolution_def_tpu.data import ManifestEntry, write_manifest, write_tiff_u16
 
 
+
+pytestmark = pytest.mark.slow  # heavy parity/e2e tier; quick run: pytest -m 'not slow'
+
 def _make_target(tmp_path, name="T1", n=40, lr=16, hr=64):
     rng = np.random.default_rng(0)
     root = tmp_path / "data" / name
