@@ -51,6 +51,12 @@ def main() -> None:
     )
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--img-size", type=int, default=128, help="LR patch size (smoke runs)")
+    p.add_argument(
+        "--no-vgg", action="store_true",
+        help="train mode: drop the VGG perceptual term (the trainers run "
+             "with it ON by default — cli/trainers.py use_vgg=True; seeded "
+             "weights have identical FLOPs to real ones)",
+    )
     args = p.parse_args()
 
     if args.impl is None:
@@ -181,14 +187,16 @@ def bench_train(args) -> None:
     """GAN train-step throughput (BASELINE configs #3/#4), chained timing.
 
     Reference configs: swin batch 2 x accum 4 (train_swin.py:36-37),
-    hat batch 1 x accum 16 (train_hat.py:32,39). VGG perceptual is omitted
-    (no pretrained weights in this image) — the pixel+adversarial phases,
-    both networks, spectral norm and EMA are all in the measured step.
+    hat batch 1 x accum 16 (train_hat.py:32,39). The VGG perceptual term is
+    IN the measured step by default, like the trainers (use_vgg=True,
+    reference losses_train_swin.py:6-40 in the hot loop); seeded weights
+    have the same FLOPs as pretrained ones. --no-vgg for the lighter step.
     """
     import jax
     import jax.numpy as jnp
 
     from superresolution_def_tpu.train import (
+        CombinedGANLoss,
         create_swin_train_state,
         create_hat_train_state,
         make_swin_train_step,
@@ -198,13 +206,26 @@ def bench_train(args) -> None:
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     size = args.img_size
     attn = None if args.impl == "fused" else args.impl
+
+    vgg_apply = None
+    if not args.no_vgg:
+        from superresolution_def_tpu.train.vgg import VGG19Features, init_vgg_params
+
+        vgg_params = init_vgg_params(cutoff=35, seed=0)
+        vgg_model = VGG19Features(cutoff=35, dtype=dtype)
+        vgg_apply = lambda x: vgg_model.apply({"params": vgg_params}, x)  # noqa: E731
+
     if args.arch == "swin":
         accum, micro = 4, args.batch if args.batch != 8 else 2
         state, bundle = create_swin_train_state(
             jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn,
             fused=(args.impl == "fused"),
         )
-        step = make_swin_train_step(bundle, accum_steps=accum)
+        crit = CombinedGANLoss(
+            pixel_weight=1.0, perceptual_weight=0.5, adversarial_weight=0.005,
+            vgg_apply=vgg_apply,
+        )
+        step = make_swin_train_step(bundle, accum_steps=accum, criterion_g=crit)
         run = lambda s, b: step(s, b, 1e-4, 1e-4)
         metric = "swinir_gan_train_patches_per_sec_per_chip"
     else:
@@ -212,9 +233,15 @@ def bench_train(args) -> None:
         state, bundle = create_hat_train_state(
             jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn
         )
-        step = make_hat_train_step(bundle, accum_steps=accum)
+        crit = CombinedGANLoss(
+            pixel_weight=1.0, perceptual_weight=1.0, adversarial_weight=0.005,
+            vgg_apply=vgg_apply,
+        )
+        step = make_hat_train_step(bundle, accum_steps=accum, criterion_g=crit)
         run = lambda s, b: step(s, b, 1e-4, 1e-4, warmup=False)
         metric = "hat_gan_train_patches_per_sec_per_chip"
+    if args.no_vgg:
+        metric += "_novgg"
 
     rng = np.random.default_rng(0)
     batch = {

@@ -36,7 +36,10 @@ def _lrelu2(v):
     return jnp.where(v >= 0, v, v * 0.2)
 
 
-def _make_rdb_kernel(tile_h: int, tile_w: int, f: int, g: int, h_img: int, w_img: int):
+def _make_rdb_kernel(
+    tile_h: int, tile_w: int, f: int, g: int, h_img: int, w_img: int,
+    tap_matmul: bool = False,
+):
     """Kernel for one (batch, tile_row, tile_col) grid step.
 
     Scratch layout (extents include shrinking halos; Ht=tile_h, Wt=tile_w):
@@ -95,12 +98,29 @@ def _make_rdb_kernel(tile_h: int, tile_w: int, f: int, g: int, h_img: int, w_img
                 a, w[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
 
+        def conv_packed(src, eh, ew, ch, w_ref):
+            """conv as im2col matmul (default) or 9 tap-accumulated matmuls
+            (tap_matmul=True: no patch buffer, K=ch per tap)."""
+            if not tap_matmul:
+                return mm(im2col(src, eh, ew, ch), w_ref)
+            oh, ow = eh - 2, ew - 2
+            m = oh * ow
+            acc = None
+            for t in range(9):
+                dy, dx = t // 3, t % 3
+                a = src[dy : dy + oh, dx : dx + ow, :].reshape(m, ch)
+                y = jax.lax.dot_general(
+                    a, w_ref[t * ch : (t + 1) * ch, :],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                )
+                acc = y if acc is None else acc + y
+            return acc
+
         bias = b_ref[:].astype(jnp.float32)
 
         # --- stage 0: source x -> contributions to conv1..conv5 -----------
         e0h, e0w = ht + 10, wt + 10
-        p0 = im2col(xt[:, 0:e0w, 0:f], e0h, e0w, f)     # (M0, 9f)
-        y0 = mm(p0, w0_ref)                             # (M0, g*4+f) fp32
+        y0 = conv_packed(xt[:, 0:e0w, 0:f], e0h, e0w, f, w0_ref)  # (M0, g*4+f) fp32
         m0h, m0w = e0h - 2, e0w - 2                     # = ht+8
         y0 = y0.reshape(m0h, m0w, 4 * g + f)
         x1 = _lrelu2(y0[:, :, 0:g] + bias[0:g])
@@ -111,16 +131,14 @@ def _make_rdb_kernel(tile_h: int, tile_w: int, f: int, g: int, h_img: int, w_img
 
         # --- stage 1: source x1 -> conv2..conv5 ---------------------------
         e1h, e1w = ht + 8, wt + 8
-        p1 = im2col(srcbuf[:, :, 0:g], e1h, e1w, g)     # (M1, 9g)
-        y1 = mm(p1, w1_ref).reshape(ht + 6, wt + 6, 3 * g + f)
+        y1 = conv_packed(srcbuf[:, :, 0:g], e1h, e1w, g, w1_ref).reshape(ht + 6, wt + 6, 3 * g + f)
         accbuf[:, :, :] = accbuf[:, :, :] + y1
         x2 = _lrelu2(accbuf[:, :, 0:g] + bias[g : 2 * g])
         x2 = (x2 * border_mask(ht + 6, wt + 6, 3).astype(jnp.float32)).astype(dt)
         srcbuf[1 : 1 + ht + 6, 1 : 1 + wt + 6, g : 2 * g] = x2
 
         # --- stage 2: source x2 -> conv3..conv5 ---------------------------
-        p2 = im2col(srcbuf[1 : 1 + ht + 6, 1 : 1 + wt + 6, g : 2 * g], ht + 6, wt + 6, g)
-        y2 = mm(p2, w2_ref).reshape(ht + 4, wt + 4, 2 * g + f)
+        y2 = conv_packed(srcbuf[1 : 1 + ht + 6, 1 : 1 + wt + 6, g : 2 * g], ht + 6, wt + 6, g, w2_ref).reshape(ht + 4, wt + 4, 2 * g + f)
         accbuf[1 : 1 + ht + 4, 1 : 1 + wt + 4, g:] = (
             accbuf[1 : 1 + ht + 4, 1 : 1 + wt + 4, g:] + y2
         )
@@ -131,8 +149,7 @@ def _make_rdb_kernel(tile_h: int, tile_w: int, f: int, g: int, h_img: int, w_img
         srcbuf[2 : 2 + ht + 4, 2 : 2 + wt + 4, 2 * g : 3 * g] = x3
 
         # --- stage 3: source x3 -> conv4..conv5 ---------------------------
-        p3 = im2col(srcbuf[2 : 2 + ht + 4, 2 : 2 + wt + 4, 2 * g : 3 * g], ht + 4, wt + 4, g)
-        y3 = mm(p3, w3_ref).reshape(ht + 2, wt + 2, g + f)
+        y3 = conv_packed(srcbuf[2 : 2 + ht + 4, 2 : 2 + wt + 4, 2 * g : 3 * g], ht + 4, wt + 4, g, w3_ref).reshape(ht + 2, wt + 2, g + f)
         accbuf[2 : 2 + ht + 2, 2 : 2 + wt + 2, 2 * g :] = (
             accbuf[2 : 2 + ht + 2, 2 : 2 + wt + 2, 2 * g :] + y3
         )
@@ -143,8 +160,7 @@ def _make_rdb_kernel(tile_h: int, tile_w: int, f: int, g: int, h_img: int, w_img
         srcbuf[3 : 3 + ht + 2, 3 : 3 + wt + 2, 3 * g : 4 * g] = x4
 
         # --- stage 4: source x4 -> conv5; assemble output -----------------
-        p4 = im2col(srcbuf[3 : 3 + ht + 2, 3 : 3 + wt + 2, 3 * g : 4 * g], ht + 2, wt + 2, g)
-        y4 = mm(p4, w4_ref).reshape(ht, wt, f)
+        y4 = conv_packed(srcbuf[3 : 3 + ht + 2, 3 : 3 + wt + 2, 3 * g : 4 * g], ht + 2, wt + 2, g, w4_ref).reshape(ht, wt, f)
         x5 = (
             accbuf[3 : 3 + ht, 3 : 3 + wt, 3 * g :]
             + y4
@@ -163,7 +179,9 @@ def _pick_tile(n: int, target: int) -> int:
     return t
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "tile_w", "tap_matmul", "interpret")
+)
 def fused_rdb(
     x: jnp.ndarray,
     kernels,
@@ -171,6 +189,7 @@ def fused_rdb(
     *,
     tile_h: int = 64,
     tile_w: int = 32,
+    tap_matmul: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One ResidualDenseBlock forward (reference hybridmodels_hat.py:21-44).
@@ -204,7 +223,7 @@ def fused_rdb(
 
     m0 = (th + 8) * (tw + 8)
     grid = (b, h // th, w // tw)
-    kern = _make_rdb_kernel(th, tw, f, g, h, w)
+    kern = _make_rdb_kernel(th, tw, f, g, h, w, tap_matmul=tap_matmul)
 
     def wspec(shape):
         return pl.BlockSpec(shape, lambda bb, i, j: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -240,7 +259,7 @@ def fused_rdb(
 
 def fused_rrdb_trunk(
     params, x: jnp.ndarray, num_rrdb: int, *, tile_h: int = 64, tile_w: int = 32,
-    interpret: bool = False,
+    tap_matmul: bool = False, interpret: bool = False,
 ) -> jnp.ndarray:
     """The hybrid's whole RRDB trunk through the fused kernel.
 
@@ -249,7 +268,8 @@ def fused_rrdb_trunk(
     def one(p, v):
         ks = [p[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6)]
         bs = [p[f"conv{i}"]["conv"]["bias"] for i in range(1, 6)]
-        return fused_rdb(v, ks, bs, tile_h=tile_h, tile_w=tile_w, interpret=interpret)
+        return fused_rdb(v, ks, bs, tile_h=tile_h, tile_w=tile_w,
+                         tap_matmul=tap_matmul, interpret=interpret)
 
     t = x
     for r in range(num_rrdb):
