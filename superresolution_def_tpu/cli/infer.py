@@ -184,6 +184,17 @@ def fused_apply_of(model) -> Callable:
     )
 
 
+def fused_hybrid_apply_of(model) -> Callable:
+    """Fused-HAB + packed-trunk forward for a sniffed hybrid config
+    (kernels/fused_hat.py). bf16 compute."""
+    from ..kernels.fused_hat import make_fused_hybrid
+
+    return make_fused_hybrid(
+        depths=model.depths, num_heads=model.num_heads,
+        window_size=model.window_size, num_rrdb=model.num_rrdb,
+    )
+
+
 # --------------------------------------------------------------------------- #
 # tiled inference
 # --------------------------------------------------------------------------- #
@@ -301,6 +312,9 @@ def run_test(
     apply_fn, params, info = load_generator(folder, arch)
     if impl == "fused" and arch == "swin":
         apply_fn = fused_apply_of(_build_model_from_params(arch, params))
+        info["impl"] = "fused"
+    elif impl == "fused":
+        apply_fn = fused_hybrid_apply_of(_build_model_from_params(arch, params))
         info["impl"] = "fused"
     fn = jax.jit(
         lambda p, x: jnp.clip(

@@ -105,6 +105,7 @@ def make_fused_hybrid(
     overlap_ratio: float = 0.5,
     num_rrdb: int = 12,
     block_windows: int = 16,
+    trunk_impl: str = "xla",  # 'xla' (packed dense blocks) | 'kernel' (fused_rdb)
     dtype=jnp.bfloat16,
 ):
     """fn(params, x) for HybridHATRealESRGAN with fused-HAB backbone."""
@@ -205,9 +206,14 @@ def make_fused_hybrid(
         x = x.astype(dtype)
         hat_out = hat_fwd(params["hat"], x)
         feat = lrelu2(_conv3(params["conv_adapt"], hat_out))
-        trunk = feat
-        for r in range(num_rrdb):
-            trunk = rrdb(params[f"rrdb_trunk_{r}"], trunk)
+        if trunk_impl == "kernel":
+            from .fused_rdb import fused_rrdb_trunk
+
+            trunk = fused_rrdb_trunk(params, feat, num_rrdb)
+        else:
+            trunk = feat
+            for r in range(num_rrdb):
+                trunk = rrdb(params[f"rrdb_trunk_{r}"], trunk)
         feat = feat + _conv3(params["conv_body"], trunk)
         feat = lrelu2(_conv3(params["conv_up"], resize_nearest(feat, 2)))
         return _conv3(

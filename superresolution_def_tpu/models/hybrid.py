@@ -75,7 +75,12 @@ def dense_block_packed(kernels, biases, x, num_feat: int, num_grow_ch: int, dtyp
     later convs become ONE wide conv (144/120/96/72/48 output channels):
     identical math (conv is linear in its input-channel blocks; per-conv
     sums are reassembled before bias+activation), same FLOPs, ~2.5x less
-    padded-MXU work. Partial sums accumulate in fp32.
+    padded-MXU work.
+
+    Partial sums accumulate in the COMPUTE dtype: measured on v5e, fp32
+    partials double the intermediate HBM traffic and erase the win (234.7
+    vs naive 234.9 ms for the 36-block trunk, batch 8 bf16) while bf16
+    partials deliver it (185.8 ms, 1.26x). In fp32 mode this is exact.
 
     kernels/biases: the five (3,3,Cin_i,Cout_i)/(Cout_i,) reference-shaped
     weights of conv1..conv5 (hybridmodels_hat.py:21-44 layout).
@@ -89,11 +94,10 @@ def dense_block_packed(kernels, biases, x, num_feat: int, num_grow_ch: int, dtyp
             v.astype(dtype), k.astype(dtype), (1, 1),
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
 
-    acc = [None] * 5  # fp32 pre-activation accumulator per conv
-    cur = x
+    acc = [None] * 5  # pre-activation accumulator per conv (compute dtype)
+    cur = x.astype(dtype)
     for s in range(5):  # source: x, x1, x2, x3, x4
         # source s feeds convs s..4; concat its kernel slices along Cout
         pack = jnp.concatenate(
@@ -108,8 +112,8 @@ def dense_block_packed(kernels, biases, x, num_feat: int, num_grow_ch: int, dtyp
             acc[i] = part if acc[i] is None else acc[i] + part
             pos += w
         # conv s is now complete: bias + activation -> next source
-        pre = acc[s] + biases[s].astype(jnp.float32)
-        cur = (leaky_relu(pre, 0.2) if s < 4 else pre).astype(dtype)
+        pre = acc[s] + biases[s].astype(dtype)
+        cur = leaky_relu(pre, 0.2) if s < 4 else pre
     return cur * 0.2 + x.astype(dtype)
 
 
