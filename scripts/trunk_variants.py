@@ -110,6 +110,12 @@ def main():
 
         t = chained(lambda c: fused_rrdb_trunk(params, c, 12), xt)
         print(f"trunk_fused_rdb : {t*1000:.1f} ms ({8/t:.1f} p/s)", flush=True)
+    if which.startswith("cm"):
+        from superresolution_def_tpu.kernels.fused_rdb_cm import fused_rrdb_trunk_cm
+
+        tile_h = int(which[2:]) if len(which) > 2 else 64
+        t = chained(lambda c: fused_rrdb_trunk_cm(params, c, 12, tile_h=tile_h), xt)
+        print(f"trunk_cm th={tile_h:<3d}: {t*1000:.1f} ms ({8/t:.1f} p/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -105,7 +105,8 @@ def make_fused_hybrid(
     overlap_ratio: float = 0.5,
     num_rrdb: int = 12,
     block_windows: int = 16,
-    trunk_impl: str = "xla",  # 'xla' (packed dense blocks) | 'kernel' (fused_rdb)
+    trunk_impl: str = "cm",  # 'cm' (fused_rdb_cm; falls back to packed XLA
+    #                           when trunk W % 128 != 0) | 'xla' | 'kernel' (v1)
     dtype=jnp.bfloat16,
 ):
     """fn(params, x) for HybridHATRealESRGAN with fused-HAB backbone."""
@@ -206,7 +207,11 @@ def make_fused_hybrid(
         x = x.astype(dtype)
         hat_out = hat_fwd(params["hat"], x)
         feat = lrelu2(_conv3(params["conv_adapt"], hat_out))
-        if trunk_impl == "kernel":
+        if trunk_impl == "cm" and feat.shape[2] % 128 == 0:
+            from .fused_rdb_cm import fused_rrdb_trunk_cm
+
+            trunk = fused_rrdb_trunk_cm(params, feat, num_rrdb)
+        elif trunk_impl == "kernel":
             from .fused_rdb import fused_rrdb_trunk
 
             trunk = fused_rrdb_trunk(params, feat, num_rrdb)

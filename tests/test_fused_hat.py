@@ -30,3 +30,23 @@ def test_fused_hybrid_matches_flax_fp32():
     with pltpu.force_tpu_interpret_mode():
         got = fn(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=2e-4)
+
+
+def test_fused_hybrid_cm_trunk_matches_flax_fp32():
+    """Wide enough input (trunk W=128) to route through the channels-major
+    fused dense-block kernel instead of the packed-XLA fallback."""
+    model = HybridHATRealESRGAN(
+        img_size=64, in_chans=1, embed_dim=30, depths=(2,), num_heads=(6,),
+        window_size=8, upscale=4, num_rrdb=1, num_feat=16, num_grow_ch=8,
+    )
+    x = jnp.asarray(np.random.default_rng(1).random((1, 16, 64, 1), np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x, True)
+
+    fn = make_fused_hybrid(
+        depths=(2,), num_heads=(6,), window_size=8, num_rrdb=1,
+        dtype=jnp.float32, block_windows=4,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = fn(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=2e-4)
