@@ -52,6 +52,12 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--img-size", type=int, default=128, help="LR patch size (smoke runs)")
     p.add_argument(
+        "--remat", action="store_true",
+        help="train mode: rematerialize the generator forward (required for "
+             "the full-size HAT hybrid step with VGG on a 16G chip: without "
+             "it XLA needs 15.94G of 15.75G HBM)",
+    )
+    p.add_argument(
         "--no-vgg", action="store_true",
         help="train mode: drop the VGG perceptual term (the trainers run "
              "with it ON by default — cli/trainers.py use_vgg=True; seeded "
@@ -219,7 +225,7 @@ def bench_train(args) -> None:
         accum, micro = 4, args.batch if args.batch != 8 else 2
         state, bundle = create_swin_train_state(
             jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn,
-            fused=(args.impl == "fused"),
+            fused=(args.impl == "fused"), remat=args.remat,
         )
         crit = CombinedGANLoss(
             pixel_weight=1.0, perceptual_weight=0.5, adversarial_weight=0.005,
@@ -231,7 +237,8 @@ def bench_train(args) -> None:
     else:
         accum, micro = 16, args.batch if args.batch != 8 else 1
         state, bundle = create_hat_train_state(
-            jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn
+            jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn,
+            remat=args.remat,
         )
         crit = CombinedGANLoss(
             pixel_weight=1.0, perceptual_weight=1.0, adversarial_weight=0.005,
@@ -242,6 +249,8 @@ def bench_train(args) -> None:
         metric = "hat_gan_train_patches_per_sec_per_chip"
     if args.no_vgg:
         metric += "_novgg"
+    if args.remat:
+        metric += "_remat"
 
     rng = np.random.default_rng(0)
     batch = {

@@ -195,12 +195,180 @@ def hybrid_breakdown(batch=8, dtype_name="bf16"):
     print(json.dumps({k: round(v * 1000, 3) for k, v in results.items()}))
 
 
+def hat_breakdown(batch=8, dtype_name="bf16"):
+    """Where the fused HAT backbone's time goes: HABs vs OCABs vs convs."""
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_def_tpu.models.hat import HAT
+    from superresolution_def_tpu.kernels import fused_hat as fh
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    depths, heads, ws = (6, 6, 6, 6), (6, 6, 6, 6), 8
+    hat = HAT(
+        img_size=128, in_chans=1, embed_dim=90, depths=depths,
+        num_heads=heads, window_size=ws, upscale=2,
+        upsampler="pixelshuffle", img_range=1.0, dtype=dtype,
+    )
+    hp = hat.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 1), jnp.float32))["params"]
+
+    results = {}
+
+    def hat_xla(x):
+        return hat.apply({"params": hp}, x.astype(dtype), True)[:, ::2, ::2, :]
+
+    results["hat_xla"] = chained_time(hat_xla, jnp.zeros((batch, 128, 128, 1), dtype))
+
+    fwd = fh.make_fused_hat(depths=depths, num_heads=heads, window_size=ws, dtype=dtype)
+
+    def hat_fused(x):
+        return fwd(hp, x.astype(dtype))[:, ::2, ::2, :]
+
+    results["hat_fused_hab"] = chained_time(hat_fused, jnp.zeros((batch, 128, 128, 1), dtype))
+
+    # components at the residual shape (batch, 128, 128, 90)
+    xr = jnp.zeros((batch, 128, 128, 90), dtype)
+    from superresolution_def_tpu.ops import shift_window_attn_mask
+    import numpy as _np
+
+    mask = jnp.asarray(_np.asarray(shift_window_attn_mask(128, 128, ws, ws // 2), _np.float32))
+    mask_tiled = jnp.tile(mask, (batch, 1, 1))
+    zeros_mask = jnp.zeros((batch * 256, ws * ws, ws * ws), jnp.float32)
+
+    # rebuild the closure's hab via a 1-group fused forward surrogate: time
+    # the 24 HABs by chaining through every block of every group
+    def habs_only(x):
+        res = x
+        for i, depth in enumerate(depths):
+            g = hp[f"layers_{i}"]
+            for j in range(depth):
+                # reuse the internal hab through a single-block fused hat
+                res = fh_hab(g[f"blocks_{j}"], res, heads[i],
+                             0 if j % 2 == 0 else ws // 2, mask_tiled, zeros_mask)
+        return res
+
+    # fh_hab: a copy of make_fused_hat's nested hab using module helpers
+    from superresolution_def_tpu.ops import (
+        window_partition, window_reverse, relative_position_index_sa,
+    )
+    from superresolution_def_tpu.kernels.swin_block import fused_hab_block
+
+    def fh_hab(p, x, nheads, shift, mt_, zm_):
+        b, h, w, c = x.shape
+        d = c // nheads
+        rpb = p["attn"]["relative_position_bias_table"]
+        rpi = relative_position_index_sa(ws)
+        bias = (
+            rpb[rpi.reshape(-1)].reshape(ws * ws, ws * ws, nheads)
+            .transpose(2, 0, 1).astype(jnp.float32)
+        )
+        xn = fh._ln(p["norm1"], x)
+        conv_x = fh._cab(p["conv_block"], xn)
+        if shift:
+            xs = jnp.roll(x, (-shift, -shift), (1, 2))
+            cs = jnp.roll(conv_x, (-shift, -shift), (1, 2))
+            mt = mt_
+        else:
+            xs, cs = x, conv_x
+            mt = zm_
+        xw = window_partition(xs, ws).reshape(-1, ws * ws, c)
+        cw = window_partition(cs, ws).reshape(-1, ws * ws, c)
+        out = fused_hab_block(
+            xw, cw, mt,
+            p["norm1"]["ln"]["scale"], p["norm1"]["ln"]["bias"],
+            p["attn"]["qkv"]["linear"]["kernel"].astype(dtype),
+            p["attn"]["qkv"]["linear"]["bias"], bias,
+            p["attn"]["proj"]["linear"]["kernel"].astype(dtype),
+            p["attn"]["proj"]["linear"]["bias"],
+            p["norm2"]["ln"]["scale"], p["norm2"]["ln"]["bias"],
+            p["mlp"]["fc1"]["linear"]["kernel"].astype(dtype),
+            p["mlp"]["fc1"]["linear"]["bias"],
+            p["mlp"]["fc2"]["linear"]["kernel"].astype(dtype),
+            p["mlp"]["fc2"]["linear"]["bias"],
+            num_heads=nheads, scale=d**-0.5, block_windows=16,
+        )
+        y = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
+        if shift:
+            y = jnp.roll(y, (shift, shift), (1, 2))
+        return y
+
+    results["habs_x24_fused"] = chained_time(habs_only, xr)
+
+    def ocabs_only(x):
+        res = x
+        for i in range(4):
+            res = fh._ocab(hp[f"layers_{i}"]["overlap_attn"], res, ws, 0.5, heads[i])
+        return res
+
+    results["ocabs_x4"] = chained_time(ocabs_only, xr)
+
+    def cab_only(x):
+        res = x
+        for i in range(6):
+            res = fh._cab(hp["layers_0"][f"blocks_{i}"]["conv_block"], res) * 0.01 + x
+        return res
+
+    results["cabs_x6_xla"] = chained_time(cab_only, xr)
+
+    for k, v in results.items():
+        print(f"{k:>16}: {v*1000:8.2f} ms/iter  ({batch/v:7.2f} patches/s)")
+    print(json.dumps({k: round(v * 1000, 3) for k, v in results.items()}))
+
+
+def vgg_breakdown(batch=2, dtype_name="bf16"):
+    """Standalone cost of the VGG perceptual term at 512^2 (config #3's
+    dominant add-on: 32.6 -> 9.0 p/s when enabled). Times forward-only,
+    forward+grad, and the full perceptual-loss pattern (vgg(sr) grad +
+    vgg(hr) no-grad)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_def_tpu.train.vgg import VGG19Features, init_vgg_params
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    params = init_vgg_params(cutoff=35, seed=0)
+    model = VGG19Features(cutoff=35, dtype=dtype)
+
+    results = {}
+    x = jnp.zeros((batch, 512, 512, 1), dtype)
+
+    def fwd(v):
+        f = model.apply({"params": params}, v)
+        # reduce back to input shape to keep the chain alive
+        m = jnp.mean(f)
+        return v * 0.999 + m.astype(v.dtype) * 1e-6
+
+    results["vgg_fwd"] = chained_time(fwd, x)
+
+    def loss(v, t):
+        fs = model.apply({"params": params}, v)
+        ft = jax.lax.stop_gradient(model.apply({"params": params}, t))
+        return jnp.mean(jnp.abs(fs.astype(jnp.float32) - ft.astype(jnp.float32)))
+
+    gl = jax.grad(loss)
+
+    def fwd_bwd(v):
+        g = gl(v, v + 0.01)
+        return v * 0.999 + g.astype(v.dtype) * 1e-6
+
+    results["vgg_loss_grad"] = chained_time(fwd_bwd, x)
+
+    for k, v in results.items():
+        print(f"{k:>16}: {v*1000:8.2f} ms/iter  ({batch/v:7.2f} patches/s)")
+    print(json.dumps({k: round(v * 1000, 3) for k, v in results.items()}))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--what", default="hybrid", choices=["hybrid"])
+    p.add_argument("--what", default="hybrid", choices=["hybrid", "hat", "vgg"])
     p.add_argument("--batch", type=int, default=8)
     args = p.parse_args()
-    hybrid_breakdown(batch=args.batch)
+    if args.what == "hat":
+        hat_breakdown(batch=args.batch)
+    elif args.what == "vgg":
+        vgg_breakdown(batch=min(args.batch, 2))
+    else:
+        hybrid_breakdown(batch=args.batch)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,199 @@
+"""Op-class attribution for the fused SwinIR block kernel (PERF.md evidence).
+
+Times kernel variants with stages ablated, at the flagship config
+(C=180, heads=6, head_dim=30, N=64 tokens, MLP hidden=720 = effective
+mlp_ratio 4, 2048 windows = batch 8 of 128x128), chained over 36 blocks.
+The deltas attribute time to QKV/attention/proj vs MLP vs LN overhead, and
+an all-heads batched-dot variant retries the packed attention layout inside
+the fused block (VERDICT.md round-1 item 6).
+
+Usage: python scripts/swin_stage_ablation.py [variant ...]
+  variants: full noattn attnonly mlponly allheads  (default: all)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from superresolution_def_tpu.kernels.swin_block import _gelu_exact, _ln_f32
+
+C, HEADS, N, HIDDEN = 180, 6, 64, 720
+D = C // HEADS
+SCALE = D**-0.5
+BW = 8 * 256  # batch 8 x (128/8)^2 windows
+BLK = 32
+DTYPE = jnp.bfloat16
+
+
+def _make_kernel(mode: str):
+    def kernel(
+        x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref,
+        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, o_ref,
+    ):
+        x = x_ref[:]
+        blk, n, _ = x.shape
+        dt = x.dtype
+
+        if mode == "mlponly":
+            h = x.astype(jnp.float32).reshape(blk * n, C)
+        else:
+            xn = _ln_f32(x, ln1s_ref[:], ln1b_ref[:]).astype(dt)
+            qkv = (
+                jax.lax.dot_general(
+                    xn.reshape(blk * n, C), wqkv_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bqkv_ref[:].astype(jnp.float32)
+            ).astype(dt).reshape(blk, n, 3 * C)
+
+            if mode == "noattn":
+                attn_out = qkv[:, :, :C].astype(jnp.float32)
+            elif mode == "allheads":
+                # batched-dot layout: heads as a dot_general batch dim
+                q4 = qkv[:, :, :C].reshape(blk, n, HEADS, D) * jnp.asarray(SCALE, dt)
+                k4 = qkv[:, :, C : 2 * C].reshape(blk, n, HEADS, D)
+                v4 = qkv[:, :, 2 * C :].reshape(blk, n, HEADS, D)
+                a = jax.lax.dot_general(
+                    q4, k4, (((3,), (3,)), ((0, 2), (0, 2))),
+                    preferred_element_type=jnp.float32,
+                )  # (blk, heads, n, n)
+                a = a + bias_ref[:].astype(jnp.float32)
+                a = a - jnp.max(a, axis=-1, keepdims=True)
+                a = jnp.exp(a)
+                a = a / jnp.sum(a, axis=-1, keepdims=True)
+                o4 = jax.lax.dot_general(
+                    a.astype(dt), v4, (((3,), (1,)), ((0, 1), (0, 2))),
+                    preferred_element_type=jnp.float32,
+                )  # (blk, heads, n, d)
+                attn_out = o4.transpose(0, 2, 1, 3).reshape(blk, n, C)
+            else:
+                outs = []
+                for i in range(HEADS):
+                    q = qkv[:, :, i * D : (i + 1) * D] * jnp.asarray(SCALE, dt)
+                    k = qkv[:, :, C + i * D : C + (i + 1) * D]
+                    v = qkv[:, :, 2 * C + i * D : 2 * C + (i + 1) * D]
+                    a = jax.lax.dot_general(
+                        q, k, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                    a = a + bias_ref[i].astype(jnp.float32)
+                    a = a - jnp.max(a, axis=-1, keepdims=True)
+                    a = jnp.exp(a)
+                    a = a / jnp.sum(a, axis=-1, keepdims=True)
+                    outs.append(
+                        jax.lax.dot_general(
+                            a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                attn_out = jnp.concatenate(outs, axis=-1)
+
+            proj = (
+                jax.lax.dot_general(
+                    attn_out.astype(dt).reshape(blk * n, C), wproj_ref[:],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                )
+                + bproj_ref[:].astype(jnp.float32)
+            )
+            h = x.astype(jnp.float32).reshape(blk * n, C) + proj
+
+        if mode == "attnonly":
+            out = h
+        else:
+            hn = _ln_f32(h.astype(dt).reshape(blk, n, C), ln2s_ref[:], ln2b_ref[:]).astype(dt)
+            m = (
+                jax.lax.dot_general(
+                    hn.reshape(blk * n, C), w1_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + b1_ref[:].astype(jnp.float32)
+            )
+            m = _gelu_exact(m).astype(dt)
+            m = (
+                jax.lax.dot_general(
+                    m, w2_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + b2_ref[:].astype(jnp.float32)
+            )
+            out = h + m
+        o_ref[:] = out.reshape(blk, n, C).astype(dt)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def block(x, weights, mode: str):
+    def tile(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _make_kernel(mode),
+        out_shape=jax.ShapeDtypeStruct((BW, N, C), x.dtype),
+        grid=(BW // BLK,),
+        in_specs=[
+            pl.BlockSpec((BLK, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            tile((C,)), tile((C,)), tile((C, 3 * C)), tile((3 * C,)),
+            tile((HEADS, N, N)), tile((C, C)), tile((C,)),
+            tile((C,)), tile((C,)), tile((C, HIDDEN)), tile((HIDDEN,)),
+            tile((HIDDEN, C)), tile((C,)),
+        ],
+        out_specs=pl.BlockSpec((BLK, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(x, *weights)
+
+
+def main():
+    which = sys.argv[1:] or ["full", "noattn", "attnonly", "mlponly", "allheads"]
+    rng = np.random.default_rng(0)
+
+    def w(*shape):
+        return jnp.asarray(rng.standard_normal(shape, np.float32) * 0.02, DTYPE)
+
+    weights = (
+        w(C), w(C), w(C, 3 * C), w(3 * C),
+        jnp.asarray(rng.standard_normal((HEADS, N, N), np.float32) * 0.02),
+        w(C, C), w(C), w(C), w(C), w(C, HIDDEN), w(HIDDEN), w(HIDDEN, C), w(C),
+    )
+    x = w(BW, N, C)
+
+    # parity first: allheads must equal full
+    if "allheads" in which:
+        a = block(x, weights, "full")
+        b = block(x, weights, "allheads")
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        print(f"allheads vs full max|err|: {err:.2e}")
+
+    for mode in which:
+        @jax.jit
+        def chain(x0, mode=mode):
+            def body(_, c):
+                return block(c, weights, mode)
+
+            return jax.lax.fori_loop(0, 36, body, x0)
+
+        chain(x).block_until_ready()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            chain(x).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts) / 36
+        print(f"{mode:>9}: {dt*1e3:7.3f} ms/block  ({8/(dt*36):6.1f} p/s for 36 blocks)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ from typing import Sequence
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..data import PatchDataset, DataIterator, merge_manifests
 from ..parallel import make_mesh, replicate, shard_batch, is_master
@@ -144,7 +145,10 @@ def _load_vgg(cfg):
         params = loaded["params"].item() if "params" in loaded else dict(loaded)
     if params is None:
         params = init_vgg_params(cutoff=35, seed=0)
-    model = VGG19Features(cutoff=35)
+    # compute dtype follows the trainer (torch AMP autocasts the reference's
+    # VGG forward too, losses_train_swin.py:25-40 under train_swin.py:229)
+    dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    model = VGG19Features(cutoff=35, dtype=dtype)
     return lambda x: model.apply({"params": params}, x)
 
 

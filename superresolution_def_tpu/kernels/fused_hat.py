@@ -97,19 +97,20 @@ def _ocab(p, x, ws, overlap_ratio, heads):
     return (y + m).reshape(b, h, w, c)
 
 
-def make_fused_hybrid(
+def make_fused_hat(
     *,
     depths: Sequence[int] = (6, 6, 6, 6),
     num_heads: Sequence[int] = (6, 6, 6, 6),
     window_size: int = 8,
     overlap_ratio: float = 0.5,
-    num_rrdb: int = 12,
     block_windows: int = 16,
-    trunk_impl: str = "cm",  # 'cm' (fused_rdb_cm; falls back to packed XLA
-    #                           when trunk W % 128 != 0) | 'xla' | 'kernel' (v1)
     dtype=jnp.bfloat16,
 ):
-    """fn(params, x) for HybridHATRealESRGAN with fused-HAB backbone."""
+    """hat_fwd(params, x) for a standalone HAT with fused-HAB blocks.
+
+    params is the HAT subtree (e.g. hybrid params['hat'] or a standalone
+    HAT's params). Inference only (drop-path off).
+    """
     ws = window_size
 
     def hab(p, x, heads, shift, mask_tiled, zeros_mask):
@@ -183,6 +184,27 @@ def make_fused_hybrid(
         out = _conv3(params["upsample_0"], out)
         out = pixel_shuffle(out, 2)
         return _conv3(params["conv_last"], out)
+
+    return hat_fwd
+
+
+def make_fused_hybrid(
+    *,
+    depths: Sequence[int] = (6, 6, 6, 6),
+    num_heads: Sequence[int] = (6, 6, 6, 6),
+    window_size: int = 8,
+    overlap_ratio: float = 0.5,
+    num_rrdb: int = 12,
+    block_windows: int = 16,
+    trunk_impl: str = "cm",  # 'cm' (fused_rdb_cm; falls back to packed XLA
+    #                           when trunk W % 128 != 0) | 'xla' | 'kernel' (v1)
+    dtype=jnp.bfloat16,
+):
+    """fn(params, x) for HybridHATRealESRGAN with fused-HAB backbone."""
+    hat_fwd = make_fused_hat(
+        depths=depths, num_heads=num_heads, window_size=window_size,
+        overlap_ratio=overlap_ratio, block_windows=block_windows, dtype=dtype,
+    )
 
     def lrelu2(x):
         return jnp.where(x >= 0, x, x * 0.2)

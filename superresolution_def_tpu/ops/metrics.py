@@ -48,7 +48,12 @@ def _depthwise_valid_conv(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Scalar SSIM over the whole batch (NHWC), reference ssim_torch math."""
+    """Scalar SSIM over the whole batch (NHWC), reference ssim_torch math.
+
+    Always computed in float32 (the reference computes metrics in fp32 even
+    under AMP — torch autocast exempts conv stats; bf16 inputs are upcast)."""
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     win = jnp.asarray(gaussian_window(window_size))
     mu1 = _depthwise_valid_conv(img1, win)
     mu2 = _depthwise_valid_conv(img2, win)
@@ -64,8 +69,8 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
 
 def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Per-sample PSNR vector (B,), inputs clamped to [0, 1]."""
-    p = jnp.clip(pred, 0.0, 1.0)
-    t = jnp.clip(target, 0.0, 1.0)
+    p = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+    t = jnp.clip(target.astype(jnp.float32), 0.0, 1.0)
     mse = jnp.mean((p - t) ** 2, axis=tuple(range(1, p.ndim)))
     return 10.0 * jnp.log10(1.0 / (mse + 1e-8))
 

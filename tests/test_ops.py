@@ -181,3 +181,18 @@ class TestMetrics:
         r, o = ref.compute(), ours.compute()
         assert abs(r["psnr"] - o["psnr"]) < 1e-3
         assert abs(r["ssim"] - o["ssim"]) < 1e-5
+
+    def test_metrics_accept_bf16_inputs(self):
+        """bf16 model outputs must upcast inside psnr/ssim (the HAT train
+        step feeds bf16 sr into the live metric tracker; regression for a
+        dtype crash in _depthwise_valid_conv)."""
+        p = RNG.random((2, 48, 48, 1)).astype(np.float32)
+        t = (p + 0.05 * RNG.standard_normal(p.shape)).astype(np.float32).clip(0, 1)
+        pj, tj = jnp.asarray(p), jnp.asarray(t)
+        pb, tb = pj.astype(jnp.bfloat16), tj.astype(jnp.bfloat16)
+        s32, sbf = float(ssim(pj, tj)), float(ssim(pb, tb))
+        assert sbf == pytest.approx(s32, abs=5e-3)
+        n32 = np.asarray(psnr(pj, tj))
+        nbf = np.asarray(psnr(pb, tb))
+        assert nbf.dtype == np.float32
+        np.testing.assert_allclose(nbf, n32, atol=0.5)  # bf16 quantization only
