@@ -8,7 +8,8 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 from superresolution_def_tpu.models import HybridHATRealESRGAN
-from superresolution_def_tpu.kernels.fused_hat import make_fused_hybrid
+from superresolution_def_tpu.models.hat import HAT
+from superresolution_def_tpu.kernels.fused_hat import make_fused_hat, make_fused_hybrid
 
 
 
@@ -29,6 +30,25 @@ def test_fused_hybrid_matches_flax_fp32():
     )
     with pltpu.force_tpu_interpret_mode():
         got = fn(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=2e-4)
+
+
+def test_fused_standalone_hat_matches_flax_fp32():
+    """make_fused_hat (HAT without the hybrid head) vs the flax HAT."""
+    model = HAT(
+        img_size=16, in_chans=1, embed_dim=30, depths=(2,), num_heads=(6,),
+        window_size=8, upscale=2, upsampler="pixelshuffle", img_range=1.0,
+    )
+    x = jnp.asarray(np.random.default_rng(2).random((2, 16, 16, 1), np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x, True)
+
+    fwd = make_fused_hat(
+        depths=(2,), num_heads=(6,), window_size=8,
+        dtype=jnp.float32, block_windows=4,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = fwd(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=2e-4)
 
 
