@@ -45,9 +45,9 @@ def main() -> None:
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument(
         "--impl", default=None, choices=["xla", "pallas", "fused"],
-        help="default: 'fused' for swin inference (2.1x), 'xla' for training "
-             "(the fused backward's full recompute is a net loss: 14.4 vs "
-             "32.6 patches/s measured)",
+        help="default: 'fused' for swin (both modes; the fused fwd+bwd step "
+             "is 1.4x the XLA step — PERF.md), 'fused' for hat inference, "
+             "'xla' for hat training (no fused hybrid train path yet)",
     )
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--img-size", type=int, default=128, help="LR patch size (smoke runs)")
@@ -66,7 +66,7 @@ def main() -> None:
     args = p.parse_args()
 
     if args.impl is None:
-        args.impl = "xla" if args.mode == "train" else "fused"
+        args.impl = "xla" if (args.mode == "train" and args.arch == "hat") else "fused"
     if args.mode == "train":
         bench_train(args)
         return
@@ -155,16 +155,19 @@ def main() -> None:
             out = apply_fn(params, c)
             return (out[:, ::4, ::4, :] * 0.999 + 1e-4).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, n_chain, body, x)
+        # scalar reduce of the final chain state: fetching it is the only
+        # sync that reliably waits over the device tunnel (block_until_ready
+        # alone has been observed returning early; see bench_train)
+        return jnp.sum(jax.lax.fori_loop(0, n_chain, body, x))
 
     x = jnp.asarray(
         np.random.default_rng(0).random((args.batch, args.img_size, args.img_size, 1), np.float32)
     )
-    chained(x).block_until_ready()  # compile
+    float(chained(x))  # compile + sync
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        chained(x).block_until_ready()
+        float(chained(x))
         times.append(time.perf_counter() - t0)
     dt = min(times) / n_chain
     patches_per_sec = args.batch / dt

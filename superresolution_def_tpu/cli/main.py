@@ -145,6 +145,8 @@ def cmd_train(args) -> None:
         cfg = SwinTrainConfig(**common)
         if args.batch_size:
             cfg.batch_size = args.batch_size
+        if args.fused is not None:
+            cfg.fused = args.fused == "on"
         train_swin_run(cfg, resume=not args.no_resume)
     else:
         cfg = HATTrainConfig(**common)
@@ -261,6 +263,11 @@ def main(argv=None) -> None:
     pt.add_argument("--bf16", action="store_true")
     pt.add_argument("--remat", action="store_true", help="checkpoint blocks (less memory, more compute)")
     pt.add_argument("--attn-impl", choices=["xla", "pallas"], default=None)
+    pt.add_argument(
+        "--fused", choices=["on", "off"], default=None,
+        help="swin: fused Pallas fwd+bwd for the generator (1.4x on one TPU "
+             "chip). Default auto: on for single-TPU bf16 runs, off elsewhere",
+    )
     pt.add_argument("--no-vgg", action="store_true")
     pt.add_argument("--vgg-weights", default=None)
     pt.add_argument("--pretrained-hat", default=None,

@@ -79,6 +79,12 @@ class SwinTrainConfig:
     mlp_ratio: float = 4.0
     use_bf16: bool = False
     attn_impl: str | None = None
+    # fused Pallas forward+backward for the generator (kernels/swin_block):
+    # 1.4x the XLA step on one TPU chip (PERF.md). None = auto: on for a
+    # single-TPU bf16 run, off elsewhere (the pallas custom call is not
+    # SPMD-partitionable across a data-parallel mesh, and CPU runs would
+    # need interpret mode).
+    fused: bool | None = None
     remat: bool = False
     use_vgg: bool = True
     vgg_weights: str | None = None  # npz of flax params; None -> seeded init
@@ -218,6 +224,13 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
     )
 
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    fused = cfg.fused
+    if fused is None:
+        fused = (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and cfg.use_bf16
+        )
     state, bundle = create_swin_train_state(
         jax.random.PRNGKey(cfg.seed),
         img_size=cfg.img_size,
@@ -229,6 +242,7 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
         mlp_ratio=cfg.mlp_ratio,
         dtype=dtype,
         attn_impl=cfg.attn_impl,
+        fused=fused,
         remat=cfg.remat,
     )
     criterion_g = CombinedGANLoss(

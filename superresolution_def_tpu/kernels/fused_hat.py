@@ -97,6 +97,39 @@ def _ocab(p, x, ws, overlap_ratio, heads):
     return (y + m).reshape(b, h, w, c)
 
 
+def _ocab_fused(p, x, ws, overlap_ratio, heads, block_windows=16):
+    """OCAB with the per-window tail (cross-attn+proj+shortcut+LN2+MLP) in
+    one VMEM kernel (kernels/ocab.py). LN1, the qkv matmul and the static
+    window/overlap gathers stay XLA. Exact same math as :func:`_ocab`."""
+    from .ocab import fused_ocab_block
+
+    b, h, w, c = x.shape
+    owin = int(ws * overlap_ratio) + ws
+    d = c // heads
+    xn = _ln(p["norm1"], x)
+    qkv = _dense(p["qkv"], xn)
+    q_w = window_partition(qkv[..., :c], ws).reshape(-1, ws * ws, c)
+    kv_w = _overlap_windows(qkv[..., c:], ws, owin)
+    x_w = window_partition(x, ws).reshape(-1, ws * ws, c)
+    nq = ws * ws
+    nk = owin * owin
+    rpb = p["relative_position_bias_table"]
+    rpi = relative_position_index_oca(ws, overlap_ratio)
+    bias = rpb[rpi.reshape(-1)].reshape(nq, nk, heads).transpose(2, 0, 1).astype(jnp.float32)
+    out_w = fused_ocab_block(
+        x_w, q_w, kv_w[..., :c], kv_w[..., c:], bias,
+        p["proj"]["linear"]["kernel"].astype(x.dtype),
+        p["proj"]["linear"]["bias"],
+        p["norm2"]["ln"]["scale"], p["norm2"]["ln"]["bias"],
+        p["mlp"]["fc1"]["linear"]["kernel"].astype(x.dtype),
+        p["mlp"]["fc1"]["linear"]["bias"],
+        p["mlp"]["fc2"]["linear"]["kernel"].astype(x.dtype),
+        p["mlp"]["fc2"]["linear"]["bias"],
+        num_heads=heads, scale=d**-0.5, block_windows=block_windows,
+    )
+    return window_reverse(out_w.reshape(-1, ws, ws, c), ws, h, w)
+
+
 def make_fused_hat(
     *,
     depths: Sequence[int] = (6, 6, 6, 6),
@@ -104,6 +137,7 @@ def make_fused_hat(
     window_size: int = 8,
     overlap_ratio: float = 0.5,
     block_windows: int = 16,
+    ocab_impl: str = "fused",  # 'fused' (kernels/ocab.py) | 'xla'
     dtype=jnp.bfloat16,
 ):
     """hat_fwd(params, x) for a standalone HAT with fused-HAB blocks.
@@ -112,6 +146,7 @@ def make_fused_hat(
     HAT's params). Inference only (drop-path off).
     """
     ws = window_size
+    ocab = _ocab_fused if ocab_impl == "fused" else _ocab
 
     def hab(p, x, heads, shift, mask_tiled, zeros_mask):
         b, h, w, c = x.shape
@@ -174,7 +209,7 @@ def make_fused_hat(
                     g[f"blocks_{j}"], res, num_heads[i],
                     0 if j % 2 == 0 else ws // 2, mask_tiled, zeros_mask,
                 )
-            res = _ocab(g["overlap_attn"], res, ws, overlap_ratio, num_heads[i])
+            res = ocab(g["overlap_attn"], res, ws, overlap_ratio, num_heads[i])
             res = _conv3(g["conv"], res) + gin
         res = _ln(params["norm"], res)
         feat = _conv3(params["conv_after_body"], res) + feat
@@ -198,12 +233,14 @@ def make_fused_hybrid(
     block_windows: int = 16,
     trunk_impl: str = "cm",  # 'cm' (fused_rdb_cm; falls back to packed XLA
     #                           when trunk W % 128 != 0) | 'xla' | 'kernel' (v1)
+    ocab_impl: str = "fused",
     dtype=jnp.bfloat16,
 ):
     """fn(params, x) for HybridHATRealESRGAN with fused-HAB backbone."""
     hat_fwd = make_fused_hat(
         depths=depths, num_heads=num_heads, window_size=window_size,
-        overlap_ratio=overlap_ratio, block_windows=block_windows, dtype=dtype,
+        overlap_ratio=overlap_ratio, block_windows=block_windows,
+        ocab_impl=ocab_impl, dtype=dtype,
     )
 
     def lrelu2(x):

@@ -923,9 +923,13 @@ def _ad_bwd(num_heads, scale, block_windows, res, dout):
         x_windows, h, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
         ln2_scale, ln2_bias, w1, b1, w2, b2,
     ) = res
+    # fp32 (blk*n, hidden) intermediates dominate the mlp-bwd live set:
+    # 32-window tiles fit at hidden<=384 but overflow scoped vmem by 5.6MB
+    # at the flagship hidden=720 (effective mlp_ratio 4)
+    mlp_cap = 32 if w1.shape[1] <= 384 else 16
     dh, dln2s, dln2b, dw1, db1, dw2, db2 = _bwd_mlp(
         h, dout, ln2_scale, ln2_bias, w1, b1, w2, b2,
-        block_windows=min(block_windows, 32),
+        block_windows=min(block_windows, mlp_cap),
     )
     dx, dln1s, dln1b, dwqkv, dbqkv, dbias, dwproj, dbproj = _bwd_attn(
         x_windows, dh, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj,
