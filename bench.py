@@ -241,7 +241,7 @@ def bench_train(args) -> None:
         accum, micro = 16, args.batch if args.batch != 8 else 1
         state, bundle = create_hat_train_state(
             jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn,
-            remat=args.remat,
+            remat=args.remat, fused=(args.impl == "fused"),
         )
         crit = CombinedGANLoss(
             pixel_weight=1.0, perceptual_weight=1.0, adversarial_weight=0.005,

@@ -152,6 +152,8 @@ def cmd_train(args) -> None:
         cfg = HATTrainConfig(**common)
         if args.batch_size:
             cfg.batch_size = args.batch_size
+        if args.fused is not None:
+            cfg.fused = args.fused == "on"
         cfg.pretrained_hat = args.pretrained_hat
         train_hat_run(cfg, resume=not args.no_resume)
 

@@ -121,6 +121,9 @@ class HATTrainConfig:
     num_grow_ch: int = 24
     use_bf16: bool = False
     attn_impl: str | None = None
+    # fused Pallas fwd+bwd for the RRDB trunk (kernels/fused_rdb_cm_bwd).
+    # None = auto: on for single-TPU bf16 runs (same gate as swin's fused)
+    fused: bool | None = None
     remat: bool = False
     use_vgg: bool = True
     vgg_weights: str | None = None
@@ -363,6 +366,13 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
     )
 
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    fused = cfg.fused
+    if fused is None:
+        fused = (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and cfg.use_bf16
+        )
     state, bundle = create_hat_train_state(
         jax.random.PRNGKey(cfg.seed),
         img_size=cfg.img_size,
@@ -375,6 +385,7 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
         num_grow_ch=cfg.num_grow_ch,
         dtype=dtype,
         attn_impl=cfg.attn_impl,
+        fused=fused,
         remat=cfg.remat,
     )
     criterion_g = CombinedGANLoss(

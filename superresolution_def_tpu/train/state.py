@@ -166,8 +166,20 @@ def create_hat_train_state(
     dtype=jnp.float32,
     attn_impl: str | None = None,
     remat: bool = False,
+    fused: bool = False,
+    fused_interpret: bool = False,
 ):
-    """Reference 'Soft' hybrid config (train_hat.py:132-136)."""
+    """Reference 'Soft' hybrid config (train_hat.py:132-136).
+
+    ``fused=True`` routes the RRDB trunk's forward AND backward through the
+    channels-major Pallas kernels (kernels/fused_rdb_cm{,_bwd}.py) — the
+    trunk is ~half the hybrid's cost, the backward recomputes in-VMEM so
+    no trunk activations are stashed. The HAT backbone and heads stay the
+    flax model (drop-path semantics preserved). Requires the trunk width
+    (2*img_size) to be a multiple of 128; falls back to the flax apply
+    otherwise. ``fused_interpret`` runs the kernels in interpret mode
+    (CPU tests only).
+    """
     g = HybridHATRealESRGAN(
         img_size=img_size,
         in_chans=1,
@@ -184,4 +196,34 @@ def create_hat_train_state(
         remat=remat,
     )
     d = UNetDiscriminatorSNHAT(num_in_ch=1, num_feat=64, dtype=dtype)
-    return _make_state(rng, g, d, img_size, img_size * 4, g_wd=0.01, d_wd=0.01)
+    state, bundle = _make_state(rng, g, d, img_size, img_size * 4, g_wd=0.01, d_wd=0.01)
+    if fused and (2 * img_size) % 128 == 0:
+        from ..models.hat import HAT
+        from ..kernels.fused_hat import _conv3
+        from ..kernels.fused_rdb_cm_bwd import fused_rrdb_trunk_cm_ad
+        from ..ops.resize import resize_nearest
+
+        hat_mod = HAT(
+            img_size=img_size, in_chans=1, embed_dim=embed_dim,
+            depths=tuple(depths), num_heads=tuple(num_heads),
+            window_size=window_size, upscale=2, upsampler="pixelshuffle",
+            img_range=1.0, dtype=dtype, attn_impl=attn_impl, remat=remat,
+        )
+
+        def lrelu2(v):
+            return jnp.where(v >= 0, v, v * 0.2)
+
+        def fused_g_apply(variables, x, deterministic=True, rngs=None, **_):
+            p = variables["params"]
+            hat_out = hat_mod.apply({"params": p["hat"]}, x, deterministic, rngs=rngs)
+            feat = lrelu2(_conv3(p["conv_adapt"], hat_out))
+            trunk = fused_rrdb_trunk_cm_ad(
+                p, feat, num_rrdb, interpret=fused_interpret
+            )
+            trunk = _conv3(p["conv_body"], trunk)
+            feat = feat + trunk
+            feat = lrelu2(_conv3(p["conv_up"], resize_nearest(feat, 2)))
+            return _conv3(p["conv_last"], lrelu2(_conv3(p["conv_hr"], feat)))
+
+        bundle = dataclasses.replace(bundle, g_apply=fused_g_apply)
+    return state, bundle
