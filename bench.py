@@ -45,9 +45,10 @@ def main() -> None:
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument(
         "--impl", default=None, choices=["xla", "pallas", "fused"],
-        help="default: 'fused' for swin (both modes; the fused fwd+bwd step "
-             "is 1.4x the XLA step — PERF.md), 'fused' for hat inference, "
-             "'xla' for hat training (no fused hybrid train path yet)",
+        help="default: 'fused' everywhere — whole-block kernels for swin "
+             "(2.1x infer, 1.4x train), HAB+OCAB+channels-major-RDB kernels "
+             "for the hybrid (1.9x infer; 1.4x train via the trunk's custom "
+             "VJP, which also fits full-size in HBM without remat)",
     )
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--img-size", type=int, default=128, help="LR patch size (smoke runs)")
@@ -66,7 +67,7 @@ def main() -> None:
     args = p.parse_args()
 
     if args.impl is None:
-        args.impl = "xla" if (args.mode == "train" and args.arch == "hat") else "fused"
+        args.impl = "fused"
     if args.mode == "train":
         bench_train(args)
         return

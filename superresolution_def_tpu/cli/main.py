@@ -291,7 +291,8 @@ def main(argv=None) -> None:
     pi.add_argument("--limit", type=int, default=None)
     pi.add_argument("--manifest", default=None)
     pi.add_argument("--impl", choices=["fused"], default=None,
-                    help="'fused' = whole-block VMEM kernel (swin, bf16, 2.1x)")
+                    help="'fused' = VMEM Pallas kernels, bf16 (swin whole-block "
+                         "2.1x; hybrid HAB+OCAB+channels-major-RDB 1.9x)")
 
     pu = sub.add_parser("upscale", help="tiled x4 SR of an arbitrary-size TIFF/FITS image")
     pu.add_argument("image")
