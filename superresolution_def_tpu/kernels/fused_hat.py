@@ -223,6 +223,123 @@ def make_fused_hat(
     return hat_fwd
 
 
+def make_fused_hat_train(
+    *,
+    depths: Sequence[int] = (6, 6, 6, 6),
+    num_heads: Sequence[int] = (6, 6, 6, 6),
+    window_size: int = 8,
+    overlap_ratio: float = 0.5,
+    drop_path_rate: float = 0.1,
+    block_windows: int = 16,
+    dtype=jnp.bfloat16,
+):
+    """Differentiable fused-HAB HAT forward for TRAINING.
+
+    hat_apply(params, x, deterministic, rng) — every HAB runs through the
+    custom-VJP window core (kernels/hab_train.py: fused forward + split
+    mlp/attention backward kernels, shift mask and per-sample drop-path
+    included). CAB, OCAB, convs and the upsample head stay XLA and are
+    differentiated by autodiff. Drop-path rates follow the reference
+    linspace(0, drop_path_rate) over all blocks (hat_arch.py:761).
+    """
+    from .hab_train import hab_core_ad
+
+    ws = window_size
+    dpr = np.linspace(0.0, drop_path_rate, int(sum(depths)))
+
+    def hab(p, x, heads, shift, mask_tiled, zeros_mask, dp1, dp2):
+        b, h, w, c = x.shape
+        d = c // heads
+        rpb = p["attn"]["relative_position_bias_table"]
+        rpi = relative_position_index_sa(ws)
+        bias = (
+            rpb[rpi.reshape(-1)].reshape(ws * ws, ws * ws, heads)
+            .transpose(2, 0, 1).astype(jnp.float32)
+        )
+        xn = _ln(p["norm1"], x)
+        conv_x = _cab(p["conv_block"], xn)
+        if shift:
+            xs = jnp.roll(x, (-shift, -shift), (1, 2))
+            cs = jnp.roll(conv_x, (-shift, -shift), (1, 2))
+            mt = mask_tiled
+        else:
+            xs, cs = x, conv_x
+            mt = zeros_mask
+        xw = window_partition(xs, ws).reshape(-1, ws * ws, c)
+        cw = window_partition(cs, ws).reshape(-1, ws * ws, c)
+        out = hab_core_ad(
+            xw, cw, mt, dp1, dp2,
+            p["norm1"]["ln"]["scale"], p["norm1"]["ln"]["bias"],
+            p["attn"]["qkv"]["linear"]["kernel"].astype(dtype),
+            p["attn"]["qkv"]["linear"]["bias"],
+            bias,
+            p["attn"]["proj"]["linear"]["kernel"].astype(dtype),
+            p["attn"]["proj"]["linear"]["bias"],
+            p["norm2"]["ln"]["scale"], p["norm2"]["ln"]["bias"],
+            p["mlp"]["fc1"]["linear"]["kernel"].astype(dtype),
+            p["mlp"]["fc1"]["linear"]["bias"],
+            p["mlp"]["fc2"]["linear"]["kernel"].astype(dtype),
+            p["mlp"]["fc2"]["linear"]["bias"],
+            heads, d**-0.5, 0.01, block_windows,
+        )
+        y = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
+        if shift:
+            y = jnp.roll(y, (shift, shift), (1, 2))
+        return y
+
+    def hat_apply(params, x, deterministic: bool = True, rng=None):
+        b, h, w, _ = x.shape
+        nw = (h // ws) * (w // ws)
+        c = params["conv_first"]["conv"]["kernel"].shape[-1]
+        mask = jnp.asarray(
+            np.asarray(shift_window_attn_mask(h, w, ws, ws // 2), np.float32)
+        )
+        mask_tiled = jnp.tile(mask, (b, 1, 1))
+        zeros_mask = jnp.zeros((b * nw, ws * ws, ws * ws), jnp.float32)
+        ones_dp = jnp.ones((b * nw, 1, c), jnp.float32)
+
+        def draw_dp(key, rate):
+            keep = 1.0 - rate
+            m = jax.random.bernoulli(key, keep, (b,)).astype(jnp.float32) / keep
+            return jnp.repeat(m, nw)[:, None, None] * jnp.ones((1, 1, c), jnp.float32)
+
+        feat = _conv3(params["conv_first"], x.astype(dtype))
+        res = feat
+        if "patch_norm" in params:
+            res = _ln(params["patch_norm"], res)
+        blk_idx = 0
+        key = rng
+        for i, depth in enumerate(depths):
+            g = params[f"layers_{i}"]
+            gin = res
+            for j in range(depth):
+                rate = float(dpr[blk_idx])
+                blk_idx += 1
+                if deterministic or rate == 0.0 or key is None:
+                    dp1 = dp2 = ones_dp
+                else:
+                    key, k1, k2 = jax.random.split(key, 3)
+                    dp1 = draw_dp(k1, rate)
+                    dp2 = draw_dp(k2, rate)
+                res = hab(
+                    g[f"blocks_{j}"], res, num_heads[i],
+                    0 if j % 2 == 0 else ws // 2, mask_tiled, zeros_mask,
+                    dp1, dp2,
+                )
+            res = _ocab(g["overlap_attn"], res, ws, overlap_ratio, num_heads[i])
+            res = _conv3(g["conv"], res) + gin
+        res = _ln(params["norm"], res)
+        feat = _conv3(params["conv_after_body"], res) + feat
+
+        out = _conv3(params["conv_before_upsample"], feat)
+        out = jnp.where(out >= 0, out, out * 0.01)
+        out = _conv3(params["upsample_0"], out)
+        out = pixel_shuffle(out, 2)
+        return _conv3(params["conv_last"], out)
+
+    return hat_apply
+
+
 def make_fused_hybrid(
     *,
     depths: Sequence[int] = (6, 6, 6, 6),

@@ -200,7 +200,9 @@ def _make_bwd_kernel(th: int, w: int, f: int, g: int, h_img: int):
 
         # ---- gradient stack [m1 m2 m3 m4 d5], col 0 <-> image row -5 -----
         def lgrad(xk):
-            return jnp.where(xk >= 0, jnp.full_like(xk, 1.0), jnp.full_like(xk, 0.2)).astype(f32)
+            # compare in f32: some Mosaic targets reject bf16 cmpf vectors
+            xv = xk.astype(f32)
+            return jnp.where(xv >= 0, jnp.full_like(xv, 1.0), jnp.full_like(xv, 0.2))
 
         d5 = dyt[:, 0 : (th + 10) * w].astype(f32) * 0.2
         d5 = jnp.where(h_mask((th + 10) * w, 5), d5, jnp.zeros_like(d5))

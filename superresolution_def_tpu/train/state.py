@@ -167,6 +167,7 @@ def create_hat_train_state(
     attn_impl: str | None = None,
     remat: bool = False,
     fused: bool = False,
+    fused_hab: bool = False,
     fused_interpret: bool = False,
 ):
     """Reference 'Soft' hybrid config (train_hat.py:132-136).
@@ -199,23 +200,40 @@ def create_hat_train_state(
     state, bundle = _make_state(rng, g, d, img_size, img_size * 4, g_wd=0.01, d_wd=0.01)
     if fused and (2 * img_size) % 128 == 0:
         from ..models.hat import HAT
-        from ..kernels.fused_hat import _conv3
+        from ..kernels.fused_hat import _conv3, make_fused_hat_train
         from ..kernels.fused_rdb_cm_bwd import fused_rrdb_trunk_cm_ad
         from ..ops.resize import resize_nearest
 
-        hat_mod = HAT(
-            img_size=img_size, in_chans=1, embed_dim=embed_dim,
-            depths=tuple(depths), num_heads=tuple(num_heads),
-            window_size=window_size, upscale=2, upsampler="pixelshuffle",
-            img_range=1.0, dtype=dtype, attn_impl=attn_impl, remat=remat,
-        )
+        if fused_hab:
+            # measured SLOWER than the flax backbone on config #4 (3.88 vs
+            # 4.50 p/s: head_dim-15 matmuls underfill the MXU and the
+            # custom-VJP stash adds HBM traffic) — kept as an option, off
+            # by default; gradient-exact per tests/test_fused_hat_train.py
+            hat_fn = make_fused_hat_train(
+                depths=tuple(depths), num_heads=tuple(num_heads),
+                window_size=window_size, dtype=dtype,
+            )
+
+            def hat_fwd(p_hat, x, deterministic, rngs):
+                rng = rngs.get("droppath") if rngs else None
+                return hat_fn(p_hat, x, deterministic, rng)
+        else:
+            hat_mod = HAT(
+                img_size=img_size, in_chans=1, embed_dim=embed_dim,
+                depths=tuple(depths), num_heads=tuple(num_heads),
+                window_size=window_size, upscale=2, upsampler="pixelshuffle",
+                img_range=1.0, dtype=dtype, attn_impl=attn_impl, remat=remat,
+            )
+
+            def hat_fwd(p_hat, x, deterministic, rngs):
+                return hat_mod.apply({"params": p_hat}, x, deterministic, rngs=rngs)
 
         def lrelu2(v):
             return jnp.where(v >= 0, v, v * 0.2)
 
         def fused_g_apply(variables, x, deterministic=True, rngs=None, **_):
             p = variables["params"]
-            hat_out = hat_mod.apply({"params": p["hat"]}, x, deterministic, rngs=rngs)
+            hat_out = hat_fwd(p["hat"], x, deterministic, rngs)
             feat = lrelu2(_conv3(p["conv_adapt"], hat_out))
             trunk = fused_rrdb_trunk_cm_ad(
                 p, feat, num_rrdb, interpret=fused_interpret

@@ -9,6 +9,7 @@ import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
 
 from superresolution_def_tpu.train import create_hat_train_state
 
@@ -23,7 +24,7 @@ CFG = dict(
 def test_fused_trunk_hybrid_grads_match_flax():
     s0, b0 = create_hat_train_state(jax.random.PRNGKey(0), **CFG)
     s1, b1 = create_hat_train_state(
-        jax.random.PRNGKey(0), **CFG, fused=True, fused_interpret=True
+        jax.random.PRNGKey(0), **CFG, fused=True, fused_hab=True, fused_interpret=True
     )
     x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 1), np.float32))
 
@@ -33,7 +34,8 @@ def test_fused_trunk_hybrid_grads_match_flax():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     out0 = b0.g_apply({"params": s0.g_params}, x, True)
-    out1 = b1.g_apply({"params": s1.g_params}, x, True)
+    with pltpu.force_tpu_interpret_mode():
+        out1 = b1.g_apply({"params": s1.g_params}, x, True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=5e-5, rtol=2e-4)
 
     tgt = out0 + 0.1
@@ -45,9 +47,40 @@ def test_fused_trunk_hybrid_grads_match_flax():
         return jnp.mean(jnp.abs(b1.g_apply({"params": p}, x, True) - tgt))
 
     g0 = jax.grad(loss0)(s0.g_params)
-    g1 = jax.grad(loss1)(s1.g_params)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss1)(s1.g_params)
     flat0, _ = jax.flatten_util.ravel_pytree(g0)
     flat1, _ = jax.flatten_util.ravel_pytree(g1)
     np.testing.assert_allclose(
         np.asarray(flat1), np.asarray(flat0), atol=2e-4, rtol=2e-3
     )
+
+
+def test_default_fused_path_flax_backbone_outputs_match():
+    """fused=True default (flax HAT backbone + fused trunk) output parity."""
+    s0, b0 = create_hat_train_state(jax.random.PRNGKey(0), **CFG)
+    s1, b1 = create_hat_train_state(
+        jax.random.PRNGKey(0), **CFG, fused=True, fused_interpret=True
+    )
+    x = jnp.asarray(np.random.default_rng(2).random((1, 64, 64, 1), np.float32))
+    out0 = b0.g_apply({"params": s0.g_params}, x, True)
+    with pltpu.force_tpu_interpret_mode():
+        out1 = b1.g_apply({"params": s1.g_params}, x, True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=5e-5, rtol=2e-4)
+
+
+def test_fused_hab_droppath_shapes_and_mean():
+    """Non-deterministic path: drop-path masks applied per sample; output
+    stays finite and differs from the deterministic one."""
+    s1, b1 = create_hat_train_state(
+        jax.random.PRNGKey(0), **CFG, fused=True, fused_hab=True, fused_interpret=True
+    )
+    x = jnp.asarray(np.random.default_rng(1).random((2, 64, 64, 1), np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        det = b1.g_apply({"params": s1.g_params}, x, True)
+        sto = b1.g_apply(
+            {"params": s1.g_params}, x, False,
+            rngs={"droppath": jax.random.PRNGKey(7)},
+        )
+    assert np.isfinite(np.asarray(sto)).all()
+    assert det.shape == sto.shape
