@@ -80,9 +80,9 @@ class SwinTrainConfig:
     use_bf16: bool = False
     attn_impl: str | None = None
     # fused Pallas forward+backward for the generator (kernels/swin_block):
-    # 1.4x the XLA step on one TPU chip (PERF.md). None = auto: on for a
-    # single-TPU bf16 run, off elsewhere (the pallas custom call is not
-    # SPMD-partitionable across a data-parallel mesh, and CPU runs would
+    # 1.4x the XLA step on one TPU chip (PERF.md). None = auto: on for TPU
+    # bf16 runs (multi-device meshes wrap the generator in shard_map —
+    # pallas custom calls are not SPMD-partitionable), off on CPU (would
     # need interpret mode).
     fused: bool | None = None
     remat: bool = False
@@ -229,11 +229,7 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     fused = cfg.fused
     if fused is None:
-        fused = (
-            jax.default_backend() == "tpu"
-            and jax.device_count() == 1
-            and cfg.use_bf16
-        )
+        fused = jax.default_backend() == "tpu" and cfg.use_bf16
     state, bundle = create_swin_train_state(
         jax.random.PRNGKey(cfg.seed),
         img_size=cfg.img_size,
@@ -246,6 +242,9 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
         dtype=dtype,
         attn_impl=cfg.attn_impl,
         fused=fused,
+        # pallas custom calls are not SPMD-partitionable: on a multi-device
+        # mesh the fused generator runs per-shard under shard_map
+        fused_mesh=mesh if (fused and ndev > 1) else None,
         remat=cfg.remat,
     )
     criterion_g = CombinedGANLoss(

@@ -114,12 +114,16 @@ def create_swin_train_state(
     attn_impl: str | None = None,
     remat: bool = False,
     fused: bool = False,
+    fused_mesh=None,
 ):
     """Reference swin train config (train_swin.py:147-156).
 
     ``fused=True`` routes the generator's forward AND backward through the
     whole-block VMEM Pallas kernels (kernels/swin_block.py) — same params
-    tree, 2x the XLA forward on-chip.
+    tree, 2x the XLA forward on-chip. Pallas custom calls are not
+    SPMD-partitionable, so on a data-parallel mesh pass ``fused_mesh`` and
+    the fused generator is wrapped in ``shard_map`` over the batch axis
+    (params replicated per device, autodiff inserts the psum).
     """
     g = SwinIR(
         img_size=img_size,
@@ -146,9 +150,23 @@ def create_swin_train_state(
             window_size=window_size, upscale=upscale, dtype=dtype,
             differentiable=True,
         )
-        bundle = dataclasses.replace(
-            bundle, g_apply=lambda variables, x, *a, **k: fused_fn(variables["params"], x)
-        )
+        if fused_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = fused_mesh.axis_names[0]
+            # check_vma=False: pallas_call out_shapes carry no vma info
+            sharded = jax.shard_map(
+                fused_fn, mesh=fused_mesh,
+                in_specs=(P(), P(axis)), out_specs=P(axis),
+                check_vma=False,
+            )
+
+            def g_apply_fused(variables, x, *a, **k):
+                return sharded(variables["params"], x)
+        else:
+            def g_apply_fused(variables, x, *a, **k):
+                return fused_fn(variables["params"], x)
+        bundle = dataclasses.replace(bundle, g_apply=g_apply_fused)
     return state, bundle
 
 
