@@ -41,7 +41,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="swin", choices=["swin", "hat"])
     p.add_argument("--mode", default="infer", choices=["infer", "train", "prep"])
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument(
+        "--batch", type=int, default=None,
+        help="patches per device call; default: measured-best per mode "
+             "(swin infer 3 — batch scan b1..b16 peaks there for BOTH "
+             "impls; hat infer 8; train: reference micro-batches 2/1)",
+    )
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument(
         "--impl", default=None, choices=["xla", "pallas", "fused"],
@@ -68,6 +73,11 @@ def main() -> None:
 
     if args.impl is None:
         args.impl = "fused"
+    if args.batch is None:
+        if args.mode == "train":
+            args.batch = 2 if args.arch == "swin" else 1
+        else:
+            args.batch = 3 if args.arch == "swin" else 8
     if args.mode == "train":
         bench_train(args)
         return
@@ -226,7 +236,7 @@ def bench_train(args) -> None:
         vgg_apply = lambda x: vgg_model.apply({"params": vgg_params}, x)  # noqa: E731
 
     if args.arch == "swin":
-        accum, micro = 4, args.batch if args.batch != 8 else 2
+        accum, micro = 4, args.batch
         state, bundle = create_swin_train_state(
             jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn,
             fused=(args.impl == "fused"), remat=args.remat,
@@ -239,7 +249,7 @@ def bench_train(args) -> None:
         run = lambda s, b: step(s, b, 1e-4, 1e-4)
         metric = "swinir_gan_train_patches_per_sec_per_chip"
     else:
-        accum, micro = 16, args.batch if args.batch != 8 else 1
+        accum, micro = 16, args.batch
         state, bundle = create_hat_train_state(
             jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn,
             remat=args.remat, fused=(args.impl == "fused"),
