@@ -367,11 +367,7 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     fused = cfg.fused
     if fused is None:
-        fused = (
-            jax.default_backend() == "tpu"
-            and jax.device_count() == 1
-            and cfg.use_bf16
-        )
+        fused = jax.default_backend() == "tpu" and cfg.use_bf16
     state, bundle = create_hat_train_state(
         jax.random.PRNGKey(cfg.seed),
         img_size=cfg.img_size,
@@ -385,6 +381,7 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
         dtype=dtype,
         attn_impl=cfg.attn_impl,
         fused=fused,
+        fused_mesh=mesh if (fused and ndev > 1) else None,
         remat=cfg.remat,
     )
     criterion_g = CombinedGANLoss(

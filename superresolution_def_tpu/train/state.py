@@ -186,6 +186,7 @@ def create_hat_train_state(
     remat: bool = False,
     fused: bool = False,
     fused_hab: bool = False,
+    fused_mesh=None,
     fused_interpret: bool = False,
 ):
     """Reference 'Soft' hybrid config (train_hat.py:132-136).
@@ -249,8 +250,7 @@ def create_hat_train_state(
         def lrelu2(v):
             return jnp.where(v >= 0, v, v * 0.2)
 
-        def fused_g_apply(variables, x, deterministic=True, rngs=None, **_):
-            p = variables["params"]
+        def core_fwd(p, x, deterministic, rngs):
             hat_out = hat_fwd(p["hat"], x, deterministic, rngs)
             feat = lrelu2(_conv3(p["conv_adapt"], hat_out))
             trunk = fused_rrdb_trunk_cm_ad(
@@ -260,6 +260,36 @@ def create_hat_train_state(
             feat = feat + trunk
             feat = lrelu2(_conv3(p["conv_up"], resize_nearest(feat, 2)))
             return _conv3(p["conv_last"], lrelu2(_conv3(p["conv_hr"], feat)))
+
+        if fused_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = fused_mesh.axis_names[0]
+            _sharded_cache = {}
+
+            def _sharded(det: bool):
+                if det not in _sharded_cache:
+                    def local(p, x, key):
+                        # per-shard drop-path stream, like per-rank torch
+                        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+                        rngs = None if det else {"droppath": k}
+                        return core_fwd(p, x, det, rngs)
+
+                    _sharded_cache[det] = jax.shard_map(
+                        local, mesh=fused_mesh,
+                        in_specs=(P(), P(axis), P()), out_specs=P(axis),
+                        check_vma=False,
+                    )
+                return _sharded_cache[det]
+
+            def fused_g_apply(variables, x, deterministic=True, rngs=None, **_):
+                key = (rngs or {}).get("droppath")
+                if key is None:
+                    key = jax.random.PRNGKey(0)
+                return _sharded(bool(deterministic))(variables["params"], x, key)
+        else:
+            def fused_g_apply(variables, x, deterministic=True, rngs=None, **_):
+                return core_fwd(variables["params"], x, deterministic, rngs)
 
         bundle = dataclasses.replace(bundle, g_apply=fused_g_apply)
     return state, bundle

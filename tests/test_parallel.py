@@ -107,3 +107,34 @@ def test_fused_generator_shard_map_matches_unfused_dp():
     np.testing.assert_allclose(
         float(m1["loss_d"]), float(m0["loss_d"]), rtol=5e-4, atol=5e-5
     )
+
+
+def test_hybrid_fused_shard_map_forward_matches_single():
+    """Hybrid fused path (flax HAT + fused trunk) per-shard under shard_map
+    on the DP mesh: sharded forward == single-device fused forward."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from superresolution_def_tpu.train import create_hat_train_state
+
+    mesh = make_mesh()
+    kwargs = dict(
+        img_size=64, embed_dim=30, depths=(2,), num_heads=(6,), window_size=8,
+        num_rrdb=1, num_feat=16, num_grow_ch=8,
+    )
+    s0, b0 = create_hat_train_state(
+        jax.random.PRNGKey(0), **kwargs, fused=True, fused_interpret=True
+    )
+    s1, b1 = create_hat_train_state(
+        jax.random.PRNGKey(0), **kwargs, fused=True, fused_interpret=True,
+        fused_mesh=mesh,
+    )
+    x = jnp.asarray(np.random.default_rng(3).random((8, 64, 64, 1), np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        ref = b0.g_apply({"params": s0.g_params}, x, True)
+        params_r = replicate(s1.g_params, mesh)
+        xs = jax.device_put(x, NamedSharding(mesh, P(mesh.axis_names[0])))
+        got = b1.g_apply({"params": params_r}, xs, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-5, rtol=2e-4
+    )
