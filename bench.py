@@ -50,10 +50,12 @@ def main() -> None:
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument(
         "--impl", default=None, choices=["xla", "pallas", "fused"],
-        help="default: 'fused' everywhere — whole-block kernels for swin "
-             "(2.1x infer, 1.4x train), HAB+OCAB+channels-major-RDB kernels "
-             "for the hybrid (1.9x infer; 1.4x train via the trunk's custom "
-             "VJP, which also fits full-size in HBM without remat)",
+        help="default: 'fused' on a TPU backend in bf16 (whole-block "
+             "kernels for swin: 2.1x infer, 1.4x train; HAB+OCAB+"
+             "channels-major-RDB kernels for the hybrid: 1.9x infer, 1.4x "
+             "train via the trunk's custom VJP, which also fits full-size "
+             "in HBM without remat), 'xla' elsewhere (Pallas kernels only "
+             "lower on TPU)",
     )
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--img-size", type=int, default=128, help="LR patch size (smoke runs)")
@@ -72,7 +74,13 @@ def main() -> None:
     args = p.parse_args()
 
     if args.impl is None:
-        args.impl = "fused"
+        # same gate as cli/trainers.py: fused Pallas kernels lower only on
+        # a real TPU backend in bf16 — anywhere else default to the XLA
+        # path, which runs everywhere
+        import jax as _jax
+
+        on_tpu_bf16 = _jax.default_backend() == "tpu" and args.dtype == "bf16"
+        args.impl = "fused" if on_tpu_bf16 else "xla"
     if args.batch is None:
         if args.mode == "train":
             args.batch = 2 if args.arch == "swin" else 1

@@ -46,6 +46,55 @@ BLK = 32
 DTYPE = jnp.bfloat16
 
 
+# ---- GELU cost attribution: alternative activations for the MLP tail ----
+# (the A&S erf in _gelu_exact spends an exp + a divide + a 5-term poly in
+# f32 on a (blk*64, 720) tensor — candidate VPU bottleneck)
+
+def _gelu_tanh(x):
+    xf = x.astype(jnp.float32)
+    inner = 0.7978845608028654 * (xf + 0.044715 * xf * xf * xf)
+    return 0.5 * xf * (1.0 + jnp.tanh(inner))
+
+
+def _gelu_sigmoid(x):
+    xf = x.astype(jnp.float32)
+    return xf / (1.0 + jnp.exp(-1.702 * xf))
+
+
+def _fit_erf_poly(degree=25, lim=4.0):
+    """Odd Chebyshev fit of erf on [-lim, lim] (no transcendentals at
+    eval time — pure FMAs after clamping)."""
+    import numpy as _np
+    from scipy.special import erf as _erf
+
+    u = _np.linspace(-lim, lim, 4001)
+    cheb = _np.polynomial.chebyshev.Chebyshev.fit(u, _erf(u), degree, domain=[-lim, lim])
+    poly = cheb.convert(kind=_np.polynomial.Polynomial)
+    coef = poly.coef.astype(_np.float32)
+    err = float(_np.max(_np.abs(poly(u) - _erf(u))))
+    return coef, err
+
+
+_ERF_COEF, _ERF_POLY_ERR = _fit_erf_poly()
+
+
+def _gelu_poly(x):
+    xf = x.astype(jnp.float32)
+    u = jnp.clip(xf * (2.0 ** -0.5), -4.0, 4.0)
+    acc = jnp.full_like(u, float(_ERF_COEF[-1]))
+    for c in _ERF_COEF[-2::-1]:
+        acc = acc * u + float(c)
+    return xf * 0.5 * (1.0 + acc)
+
+
+_ACTIVATIONS = {
+    "mlp_nogelu": lambda x: x.astype(jnp.float32),
+    "mlp_tanhgelu": _gelu_tanh,
+    "mlp_siggelu": _gelu_sigmoid,
+    "mlp_polygelu": _gelu_poly,
+}
+
+
 def _make_kernel(mode: str):
     def kernel(
         x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref,
@@ -148,7 +197,7 @@ def _make_kernel(mode: str):
                 )
                 + b1_ref[:].astype(jnp.float32)
             )
-            m = _gelu_exact(m).astype(dt)
+            m = _ACTIVATIONS.get(mode, _gelu_exact)(m).astype(dt)
             m = (
                 jax.lax.dot_general(
                     m, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -209,16 +258,20 @@ def main():
             def body(_, c):
                 return block(c, weights, mode)
 
-            return jax.lax.fori_loop(0, 36, body, x0)
+            out = jax.lax.fori_loop(0, 36, body, x0)
+            # scalar that data-depends on the whole chain: fetching it is
+            # the only reliable sync over the axon tunnel
+            # (block_until_ready is not — STATUS.md round 2)
+            return jnp.sum(out.astype(jnp.float32))
 
-        chain(x).block_until_ready()
+        float(chain(x))  # warmup + compile
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
-            chain(x).block_until_ready()
+            float(chain(x))
             ts.append(time.perf_counter() - t0)
         dt = min(ts) / 36
-        print(f"{mode:>9}: {dt*1e3:7.3f} ms/block  ({8/(dt*36):6.1f} p/s for 36 blocks)", flush=True)
+        print(f"{mode:>13}: {dt*1e3:7.3f} ms/block  ({8/(dt*36):6.1f} p/s for 36 blocks)", flush=True)
 
 
 if __name__ == "__main__":

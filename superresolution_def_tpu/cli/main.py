@@ -68,12 +68,17 @@ def cmd_prep(args) -> None:
         mosaic_check,
         extract_patches,
         normalize_target,
+        make_prep_logger,
     )
 
     steps = set((args.steps or "1,2,3,4").split(","))
     targets = args.target.split(",") if args.target else [
         p.name for p in sorted(Path(args.data_root).glob("*")) if (p / "1_originarie").exists()
     ]
+    # timestamped log file + console, like the reference's step-1 logging
+    # (Dataset_step1:44-54) but covering every step we run
+    log, log_path = make_prep_logger(Path(args.data_root) / "logs", prefix="prep")
+    log(f"prep steps={sorted(steps)} targets={targets} (log: {log_path})")
     for t in targets:
         root = Path(args.data_root) / t
         orig = root / "1_originarie"
@@ -82,21 +87,27 @@ def cmd_prep(args) -> None:
         reg_o = root / "3_registered_native" / "observatory"
         reg_h = root / "3_registered_native" / "hubble"
         if "1" in steps:
-            process_step1_folder(orig / "local_raw", solved_o)
-            process_step1_folder(orig / "img_lights", solved_h)
-            main_registration(solved_h, solved_o, reg_h, reg_o)
+            process_step1_folder(orig / "local_raw", solved_o, log=log)
+            process_step1_folder(orig / "img_lights", solved_h, log=log)
+            main_registration(solved_h, solved_o, reg_h, reg_o, log=log)
         if "2" in steps:
             mosaic_check(
                 reg_h, reg_o, root / "4_quality_check" / f"{t}_mosaic_check.png",
-                target_name=t,
+                target_name=t, log=log,
             )
         if "3" in steps:
             extract_patches(
                 reg_h, reg_o, root / "6_patches_final",
                 target_name=t, desired_count=args.desired_count,
+                debug_dir=root / "6_patches_final_debug",
+                zip_outputs=True, log=log,
             )
         if "4" in steps:
-            normalize_target(root / "6_patches_final", root / "7_dataset_ready_LOG")
+            normalize_target(
+                root / "6_patches_final", root / "7_dataset_ready_LOG",
+                debug_dir=root / "7_dataset_ready_LOG_debug",
+                zip_debug=True, log=log,
+            )
 
 
 def get_available_pair_targets(data_root: str) -> list[str]:
@@ -268,7 +279,9 @@ def main(argv=None) -> None:
     pt.add_argument(
         "--fused", choices=["on", "off"], default=None,
         help="swin: fused Pallas fwd+bwd for the generator (1.4x on one TPU "
-             "chip). Default auto: on for single-TPU bf16 runs, off elsewhere",
+             "chip). Default auto: on for ALL TPU bf16 runs, off elsewhere; "
+             "multi-device meshes run the fused generator per-shard under "
+             "shard_map",
     )
     pt.add_argument("--no-vgg", action="store_true")
     pt.add_argument("--vgg-weights", default=None)

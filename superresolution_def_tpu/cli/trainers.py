@@ -122,7 +122,8 @@ class HATTrainConfig:
     use_bf16: bool = False
     attn_impl: str | None = None
     # fused Pallas fwd+bwd for the RRDB trunk (kernels/fused_rdb_cm_bwd).
-    # None = auto: on for single-TPU bf16 runs (same gate as swin's fused)
+    # None = auto: on for ALL TPU bf16 runs (same gate as swin's fused);
+    # multi-device meshes run the fused generator per-shard under shard_map
     fused: bool | None = None
     remat: bool = False
     use_vgg: bool = True

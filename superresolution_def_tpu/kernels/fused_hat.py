@@ -31,7 +31,7 @@ from ..ops.pixelshuffle import pixel_shuffle
 from ..ops.resize import resize_nearest
 from ..kernels import window_attention
 from ..models.hat import _overlap_windows
-from .swin_block import fused_hab_block, _gelu_exact
+from .swin_block import fused_hab_block, _gelu
 
 
 def _conv3(p, x):
@@ -61,7 +61,7 @@ def _dense(p, x):
 
 def _cab(p, xn):
     y = _conv3(p["conv1"], xn)
-    y = _gelu_exact(y).astype(xn.dtype)
+    y = _gelu(y, xn.dtype).astype(xn.dtype)
     y = _conv3(p["conv2"], y)
     pooled = jnp.mean(y, axis=(1, 2), keepdims=True)
     att = jax.nn.relu(_conv1(p["ca"]["ca_fc1"], pooled))
@@ -93,7 +93,7 @@ def _ocab(p, x, ws, overlap_ratio, heads):
     out = out.transpose(0, 2, 1, 3).reshape(bw, nq, c)
     out = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w).reshape(b, h * w, c)
     y = _dense(p["proj"], out) + shortcut
-    m = _dense(p["mlp"]["fc2"], _gelu_exact(_dense(p["mlp"]["fc1"], _ln(p["norm2"], y))).astype(y.dtype))
+    m = _dense(p["mlp"]["fc2"], _gelu(_dense(p["mlp"]["fc1"], _ln(p["norm2"], y)), y.dtype).astype(y.dtype))
     return (y + m).reshape(b, h, w, c)
 
 

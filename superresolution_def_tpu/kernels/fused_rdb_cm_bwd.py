@@ -26,6 +26,12 @@ training. Design:
 Extents (tile core = th rows): the deepest chain x->x1->x2->x3->x4->m4
 needs an 8-row halo on x (th+16) and a 5-row halo on dy (th+10); each
 derived stage erodes by 2 rows exactly like the forward.
+
+bf16 gradient tolerance: in bf16 mode the weight-grad matmuls cast the
+f32 cotangent stack to bf16 before the dot (MXU input dtype), so
+gradients match the f32 chain only to bf16 precision. The exactness
+tests (tests/test_fused_rdb_cm_bwd.py) run in fp32 where the kernel is
+bit-consistent with autodiff of the reference chain.
 """
 
 from __future__ import annotations

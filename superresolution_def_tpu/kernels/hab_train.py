@@ -16,6 +16,15 @@ branch gradient by dp1. dp1/dp2 are (BW, 1, C) per-window multipliers
 reference stochastic-depth semantics, mask/(1-p) scaling). conv_x, the
 window/shift plumbing and the relative-position gather stay XLA and get
 their gradients through ordinary autodiff.
+
+bf16 gradient tolerance: in bf16 mode the MLP backward recomputes
+LN2/GELU from the bf16-rounded saved h while the forward used the f32 h,
+and the weight-grad matmuls cast f32 cotangents to bf16 — the gradients
+are therefore consistent with the forward only to ~bf16 precision (a few
+ulp of bf16, ~1e-2 relative worst-case). The exactness parity tests
+(tests/test_fused_hat_train.py) run in fp32, where forward and recompute
+coincide bit-for-bit. This is the standard mixed-precision trade; keeping
+h/cotangents in f32 would roughly double the VMEM stash.
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .swin_block import _gelu_exact, _ln_f32, _erf_approx
+from .swin_block import _gelu, _gelu_grad, _ln_f32
 
 
 def _make_hab_fwd_h_kernel(num_heads: int, head_dim: int, scale: float,
@@ -92,7 +101,7 @@ def _make_hab_fwd_h_kernel(num_heads: int, head_dim: int, scale: float,
             )
             + b1_ref[:].astype(jnp.float32)
         )
-        m = _gelu_exact(u).astype(dt)
+        m = _gelu(u, dt).astype(dt)
         m = (
             jax.lax.dot_general(
                 m, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -137,7 +146,7 @@ def _hab_bwd_mlp_kernel(
         )
         + b1_ref[:].astype(jnp.float32)
     )
-    g = _gelu_exact(u).astype(dt)
+    g = _gelu(u, dt).astype(dt)
 
     dm = dout
     dw2_ref[...] += jax.lax.dot_general(
@@ -148,9 +157,7 @@ def _hab_bwd_mlp_kernel(
         dm.astype(dt), w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    phi = jnp.exp(-0.5 * u * u) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
-    Phi = 0.5 * (1.0 + _erf_approx(u * (2.0**-0.5)))
-    du = dg * (Phi + u * phi)
+    du = dg * _gelu_grad(u, dt)
     dw1_ref[...] += jax.lax.dot_general(
         hn, du.astype(dt), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .swin_block import _gelu_exact, _ln_f32
+from .swin_block import _gelu, _ln_f32
 
 
 def _make_ocab_kernel(num_heads: int, head_dim: int, scale: float):
@@ -86,7 +86,7 @@ def _make_ocab_kernel(num_heads: int, head_dim: int, scale: float):
             )
             + b1_ref[:].astype(jnp.float32)
         )
-        m = _gelu_exact(m).astype(dt)
+        m = _gelu(m, dt).astype(dt)
         m = (
             jax.lax.dot_general(
                 m, w2_ref[:], (((1,), (0,)), ((), ())),

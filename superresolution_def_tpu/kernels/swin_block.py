@@ -44,6 +44,44 @@ def _gelu_exact(x):
     return xf * 0.5 * (1.0 + _erf_approx(xf * (2.0**-0.5)))
 
 
+# bf16 kernels use the tanh GELU: the A&S erf path spends an exp + a
+# divide (both EUP transcendentals) + a 5-term poly per element on the
+# (tile*64, hidden) tensor — measured 0.42 ms/block of the flagship's
+# 3.35 ms (scripts/swin_stage_ablation.py 'mlp_nogelu' vs 'full'); tanh
+# is one EUP op and saves ~0.38 ms/block. Max abs deviation from exact
+# GELU is 4.7e-4 — comparable to the bf16 output cast's own rounding —
+# and the measured end-to-end bf16-vs-fp32-reference deviation is
+# unchanged (see PERF.md round 3). fp32 kernels (the parity/test path)
+# keep the exact erf; flip FAST_GELU_BF16 before tracing to A/B.
+FAST_GELU_BF16 = True
+
+
+def _gelu_fast(x):
+    xf = x.astype(jnp.float32)
+    s = 0.7978845608028654 * (xf + 0.044715 * xf * xf * xf)
+    return 0.5 * xf * (1.0 + jnp.tanh(s))
+
+
+def _gelu(x, dt):
+    """Activation for a kernel whose io dtype is ``dt`` (input x is f32)."""
+    if dt == jnp.bfloat16 and FAST_GELU_BF16:
+        return _gelu_fast(x)
+    return _gelu_exact(x)
+
+
+def _gelu_grad(u, dt):
+    """d gelu(u) / du, matching the forward variant chosen by ``dt``."""
+    uf = u.astype(jnp.float32)
+    if dt == jnp.bfloat16 and FAST_GELU_BF16:
+        s = 0.7978845608028654 * (uf + 0.044715 * uf * uf * uf)
+        t = jnp.tanh(s)
+        ds = 0.7978845608028654 * (1.0 + 3.0 * 0.044715 * uf * uf)
+        return 0.5 * (1.0 + t) + 0.5 * uf * (1.0 - t * t) * ds
+    phi = jnp.exp(-0.5 * uf * uf) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    Phi = 0.5 * (1.0 + _erf_approx(uf * (2.0**-0.5)))
+    return Phi + uf * phi
+
+
 def _ln_f32(x, scale, bias, eps=1e-5):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -118,7 +156,7 @@ def _make_kernel(num_heads: int, head_dim: int, scale: float):
             )
             + b1_ref[:].astype(jnp.float32)
         )
-        m = _gelu_exact(m).astype(dt)
+        m = _gelu(m, dt).astype(dt)
         m = (
             jax.lax.dot_general(
                 m, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -198,7 +236,7 @@ def _make_hab_kernel(num_heads: int, head_dim: int, scale: float, conv_scale: fl
             )
             + b1_ref[:].astype(jnp.float32)
         )
-        m = _gelu_exact(m).astype(dt)
+        m = _gelu(m, dt).astype(dt)
         m = (
             jax.lax.dot_general(
                 m, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -314,7 +352,7 @@ def _make_kernel_fwd_h(num_heads: int, head_dim: int, scale: float):
             )
             + b1_ref[:].astype(jnp.float32)
         )
-        m = _gelu_exact(u).astype(dt)
+        m = _gelu(u, dt).astype(dt)
         m = (
             jax.lax.dot_general(
                 m, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -358,7 +396,7 @@ def _bwd_mlp_kernel(
         )
         + b1_ref[:].astype(jnp.float32)
     )
-    g = _gelu_exact(u).astype(dt)
+    g = _gelu(u, dt).astype(dt)
 
     dm = dout
     dw2_ref[...] += jax.lax.dot_general(
@@ -369,9 +407,7 @@ def _bwd_mlp_kernel(
         dm.astype(dt), w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    phi = jnp.exp(-0.5 * u * u) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
-    Phi = 0.5 * (1.0 + _erf_approx(u * (2.0**-0.5)))
-    du = dg * (Phi + u * phi)
+    du = dg * _gelu_grad(u, dt)
     dw1_ref[...] += jax.lax.dot_general(
         hn, du.astype(dt), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -608,7 +644,7 @@ def _make_bwd_kernel(num_heads: int, head_dim: int, scale: float):
             )
             + b1_ref[:].astype(jnp.float32)
         )
-        g = _gelu_exact(u).astype(dt)
+        g = _gelu(u, dt).astype(dt)
 
         # ---- backward ------------------------------------------------------
         # out = h + g @ W2 + b2
@@ -622,11 +658,7 @@ def _make_bwd_kernel(num_heads: int, head_dim: int, scale: float):
             dm.astype(dt), w2_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # exact gelu' = Phi(u) + u * phi(u)
-        uf = u
-        phi = jnp.exp(-0.5 * uf * uf) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
-        Phi = 0.5 * (1.0 + _erf_approx(uf * (2.0**-0.5)))
-        du = dg * (Phi + uf * phi)
+        du = dg * _gelu_grad(u, dt)
         dw1_ref[...] += jax.lax.dot_general(
             hn, du.astype(dt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

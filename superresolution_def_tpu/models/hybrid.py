@@ -168,6 +168,7 @@ class HybridHATRealESRGAN(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str | None = None
     remat: bool = False
+    drop_path_rate: float = 0.1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -184,6 +185,7 @@ class HybridHATRealESRGAN(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            drop_path_rate=self.drop_path_rate,
             name="hat",
         )(x, deterministic)
 

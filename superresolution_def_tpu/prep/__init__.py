@@ -7,6 +7,7 @@ from .mosaic import mosaic_check
 from .patches import extract_patches, calculate_stride_for_target
 from .normalize_pipeline import calculate_robust_stats, normalize_target
 from .splits import prepare_full_dataset
+from .logging_util import make_prep_logger
 
 __all__ = [
     "read_fits",
@@ -27,4 +28,5 @@ __all__ = [
     "calculate_robust_stats",
     "normalize_target",
     "prepare_full_dataset",
+    "make_prep_logger",
 ]

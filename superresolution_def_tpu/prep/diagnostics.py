@@ -81,3 +81,35 @@ def save_diagnostic_card(
     fig.savefig(out_png, dpi=90, bbox_inches="tight")
     plt.close(fig)
     return chk
+
+
+def save_normalization_debug(
+    hr_raw: np.ndarray,
+    lr_raw: np.ndarray,
+    hr_norm_u16: np.ndarray,
+    lr_norm_u16: np.ndarray,
+    clip_percentile: float,
+    out_png: str | Path,
+) -> None:
+    """Step-4 normalization debug card (Dataset_step4:96-116): raw frames
+    log-stretched on top, the u16 AI inputs below, black background."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 2, figsize=(10, 10), facecolor="#000000")
+    axes[0, 0].imshow(np.log1p(np.maximum(np.nan_to_num(hr_raw), 1e-5)), cmap="inferno")
+    axes[0, 0].set_title("Hubble RAW (Log)", color="white")
+    axes[0, 1].imshow(np.log1p(np.maximum(np.nan_to_num(lr_raw), 1e-5)), cmap="viridis")
+    axes[0, 1].set_title("Obs RAW (Log)", color="white")
+    axes[1, 0].imshow(hr_norm_u16, cmap="gray", vmin=0, vmax=65535)
+    axes[1, 0].set_title(f"Hubble AI Input (Clip {clip_percentile}%)", color="white")
+    axes[1, 1].imshow(lr_norm_u16, cmap="gray", vmin=0, vmax=65535)
+    axes[1, 1].set_title(f"Obs AI Input (Clip {clip_percentile}%)", color="white")
+    for ax in axes.flat:
+        ax.axis("off")
+    plt.tight_layout()
+    Path(out_png).parent.mkdir(parents=True, exist_ok=True)
+    plt.savefig(out_png, facecolor="#000000")
+    plt.close(fig)

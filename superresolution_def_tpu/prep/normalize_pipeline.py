@@ -57,14 +57,24 @@ def calculate_robust_stats(
     return lo, hi
 
 
+DEBUG_INTERVAL = 50
+
+
 def normalize_target(
     pairs_dir: str | Path,
     out_dir: str | Path,
     *,
     use_log_stretch: bool = USE_LOG_STRETCH,
+    debug_dir: str | Path | None = None,
+    debug_interval: int = DEBUG_INTERVAL,
+    zip_debug: bool = False,
     log=print,
 ) -> int:
-    """Pass 1 + pass 2 over every pair; writes 7_dataset_ready_LOG layout."""
+    """Pass 1 + pass 2 over every pair; writes 7_dataset_ready_LOG layout.
+
+    ``debug_dir``: write a normalization debug card every ``debug_interval``
+    pairs (reference Dataset_step4:179-180); ``zip_debug`` archives the
+    debug dir next to it as debug_checks_clip_<pct>.zip (:187-189)."""
     pairs_dir, out_dir = Path(pairs_dir), Path(out_dir)
     pair_dirs = sorted(pairs_dir.glob("pair_*"))
     if not pair_dirs:
@@ -91,6 +101,24 @@ def normalize_target(
         pd.mkdir(parents=True, exist_ok=True)
         write_tiff_u16(pd / "hubble.tiff", np.asarray(hr01))
         write_tiff_u16(pd / "observatory.tiff", np.asarray(lr01))
+        if debug_dir is not None and n % debug_interval == 0:
+            from .diagnostics import save_normalization_debug
+
+            save_normalization_debug(
+                hr, lr,
+                (np.asarray(hr01) * 65535.0).astype(np.uint16),
+                (np.asarray(lr01) * 65535.0).astype(np.uint16),
+                BLACK_CLIP_PERCENTILE,
+                Path(debug_dir) / f"check_{d.name}.png",
+            )
         n += 1
     log(f"[step4] normalized {n} pairs -> {out_dir}")
+    if zip_debug and debug_dir is not None and Path(debug_dir).exists():
+        import shutil
+
+        shutil.make_archive(
+            str(Path(debug_dir).parent / f"debug_checks_clip_{BLACK_CLIP_PERCENTILE}"),
+            "zip", str(debug_dir),
+        )
+        log("[step4] debug archive created")
     return n

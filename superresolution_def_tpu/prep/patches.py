@@ -78,6 +78,7 @@ def extract_patches(
     batch_patches: int = 64,
     debug_dir: str | Path | None = None,
     debug_samples: int = DEBUG_SAMPLES,
+    zip_outputs: bool = False,
     log=print,
 ) -> int:
     """Extract aligned pairs; returns the number of pairs written."""
@@ -162,4 +163,16 @@ def extract_patches(
                     )
                 idx += 1
     log(f"[step3] wrote {idx} pairs")
+    if zip_outputs and idx:
+        # reference archives the FITS pairs and debug cards into the
+        # target dir (Dataset_step3:431-435)
+        import shutil
+
+        name = target_name or out_dir.parent.name
+        shutil.make_archive(str(out_dir.parent / f"{name}_patches"), "zip", str(out_dir))
+        if debug_dir is not None and Path(debug_dir).exists():
+            shutil.make_archive(
+                str(out_dir.parent / f"{name}_debug_visuals"), "zip", str(debug_dir)
+            )
+        log("[step3] archives created")
     return idx

@@ -154,12 +154,15 @@ def create_swin_train_state(
             from jax.sharding import PartitionSpec as P
 
             axis = fused_mesh.axis_names[0]
-            # check_vma=False: pallas_call out_shapes carry no vma info
-            sharded = jax.shard_map(
+            # check_vma=False: pallas_call out_shapes carry no vma info.
+            # jit the shard_map: eager shard_map dispatches PER PRIMITIVE
+            # (one pjit lowering each) — under jit it traces once; nested
+            # inside the jitted train step it inlines.
+            sharded = jax.jit(jax.shard_map(
                 fused_fn, mesh=fused_mesh,
                 in_specs=(P(), P(axis)), out_specs=P(axis),
                 check_vma=False,
-            )
+            ))
 
             def g_apply_fused(variables, x, *a, **k):
                 return sharded(variables["params"], x)
@@ -188,6 +191,7 @@ def create_hat_train_state(
     fused_hab: bool = False,
     fused_mesh=None,
     fused_interpret: bool = False,
+    drop_path_rate: float = 0.1,
 ):
     """Reference 'Soft' hybrid config (train_hat.py:132-136).
 
@@ -214,6 +218,7 @@ def create_hat_train_state(
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
+        drop_path_rate=drop_path_rate,
     )
     d = UNetDiscriminatorSNHAT(num_in_ch=1, num_feat=64, dtype=dtype)
     state, bundle = _make_state(rng, g, d, img_size, img_size * 4, g_wd=0.01, d_wd=0.01)
@@ -242,6 +247,7 @@ def create_hat_train_state(
                 depths=tuple(depths), num_heads=tuple(num_heads),
                 window_size=window_size, upscale=2, upsampler="pixelshuffle",
                 img_range=1.0, dtype=dtype, attn_impl=attn_impl, remat=remat,
+                drop_path_rate=drop_path_rate,
             )
 
             def hat_fwd(p_hat, x, deterministic, rngs):
@@ -275,16 +281,27 @@ def create_hat_train_state(
                         rngs = None if det else {"droppath": k}
                         return core_fwd(p, x, det, rngs)
 
-                    _sharded_cache[det] = jax.shard_map(
+                    # jit the shard_map: eager shard_map dispatches PER
+                    # PRIMITIVE (one pjit lowering per op — the flax HAT
+                    # body has hundreds, which presents as a hang); under
+                    # jit it traces once and inlines in the train step.
+                    _sharded_cache[det] = jax.jit(jax.shard_map(
                         local, mesh=fused_mesh,
                         in_specs=(P(), P(axis), P()), out_specs=P(axis),
                         check_vma=False,
-                    )
+                    ))
                 return _sharded_cache[det]
 
             def fused_g_apply(variables, x, deterministic=True, rngs=None, **_):
                 key = (rngs or {}).get("droppath")
                 if key is None:
+                    if not deterministic:
+                        # match flax's missing-rng error instead of silently
+                        # reusing PRNGKey(0) every step (ADVICE r2)
+                        raise ValueError(
+                            "fused hybrid apply with deterministic=False "
+                            "requires rngs={'droppath': key}"
+                        )
                     key = jax.random.PRNGKey(0)
                 return _sharded(bool(deterministic))(variables["params"], x, key)
         else:

@@ -94,6 +94,36 @@ def test_hybrid_forward_matches_torch():
     assert err.max() < 5e-4, f"max abs err {err.max()}"
 
 
+def test_hybrid_forward_matches_torch_flagship_config():
+    """Parity lock at the ACTUAL 'Soft' train config (train_hat.py:132-136:
+    embed 90, depths (6,6,6,6), rrdb 12, feat 48, grow 24, 128->512) —
+    the full-depth stack could amplify drift the reduced config hides
+    (VERDICT r2 #4). Measured max-abs 6.8e-06 on this host; 5e-5 gives
+    ~7x headroom, still far below the 0.01 dB gate. ~2 min on 1 core."""
+    RefHybrid = load_reference_hybrid()
+    torch.manual_seed(1)
+    det = {
+        "embed_dim": 90,
+        "depths": (6, 6, 6, 6),
+        "num_heads": (6, 6, 6, 6),
+        "window_size": 8,
+        "num_rrdb": 12,
+        "num_feat": 48,
+        "num_grow_ch": 24,
+    }
+    ref = RefHybrid(img_size=128, in_chans=1, upscale=4, **det).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    model = HybridHATRealESRGAN(img_size=128, in_chans=1, **det)
+    params = hybrid_from_torch(sd, det)
+
+    x = RNG.random((1, 128, 128, 1)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+    ours = model.apply({"params": params}, jnp.asarray(x), True)
+    err = np.abs(np.asarray(ours).transpose(0, 3, 1, 2) - expected.numpy())
+    assert err.max() < 5e-5, f"max abs err {err.max()}"
+
+
 def test_detect_hybrid_params_from_torch_sd():
     RefHybrid = load_reference_hybrid()
     torch.manual_seed(2)

@@ -1,6 +1,7 @@
 """Data-parallel tests on the 8-device virtual CPU mesh (conftest forces it)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -111,8 +112,14 @@ def test_fused_generator_shard_map_matches_unfused_dp():
 
 def test_hybrid_fused_shard_map_forward_matches_single():
     """Hybrid fused path (flax HAT + fused trunk) per-shard under shard_map
-    on the DP mesh: sharded forward == single-device fused forward."""
-    from jax.experimental.pallas import tpu as pltpu
+    on the DP mesh: sharded forward == single-device fused forward.
+
+    NOTE: fused_interpret=True already routes every pallas_call through the
+    pure-XLA interpret path; do NOT additionally wrap in
+    pltpu.force_tpu_interpret_mode() — that switches to the callback-based
+    TPU emulator whose shared interpreter state deadlocks under concurrent
+    multi-device shard_map execution (round-2 futex deadlock).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from superresolution_def_tpu.train import create_hat_train_state
@@ -130,11 +137,62 @@ def test_hybrid_fused_shard_map_forward_matches_single():
         fused_mesh=mesh,
     )
     x = jnp.asarray(np.random.default_rng(3).random((8, 64, 64, 1), np.float32))
-    with pltpu.force_tpu_interpret_mode():
-        ref = b0.g_apply({"params": s0.g_params}, x, True)
-        params_r = replicate(s1.g_params, mesh)
-        xs = jax.device_put(x, NamedSharding(mesh, P(mesh.axis_names[0])))
-        got = b1.g_apply({"params": params_r}, xs, True)
+    ref = b0.g_apply({"params": s0.g_params}, x, True)
+    params_r = replicate(s1.g_params, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P(mesh.axis_names[0])))
+    got = b1.g_apply({"params": params_r}, xs, True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=5e-5, rtol=2e-4
     )
+
+
+@pytest.mark.slow
+def test_hybrid_fused_shard_map_train_step_matches_single_device():
+    """Full hybrid GAN TRAIN step with the fused trunk under shard_map on
+    the DP mesh vs the SAME fused step on one device: same losses, same
+    updated params. This validates the exact path cli/trainers.py
+    auto-enables for multi-device TPU bf16 hybrid runs (custom-VJP trunk +
+    shard_map psum interaction). drop_path_rate=0 so the per-shard rng
+    fold-in is irrelevant and the runs are exactly comparable.
+
+    The ground-truth chain: fused-single == flax-single is covered by
+    tests/test_fused_hat_train.py (gradient-exact custom VJP), so proving
+    fused-mesh == fused-single here closes fused-mesh == reference. (A
+    direct unfused-mesh reference was tried and abandoned: its GSPMD
+    compile alone exceeds an hour on the CPU host.)"""
+    from superresolution_def_tpu.train import (
+        create_hat_train_state,
+        make_hat_train_step,
+    )
+
+    mesh = make_mesh()
+    kwargs = dict(
+        img_size=64, embed_dim=30, depths=(2,), num_heads=(6,), window_size=8,
+        num_rrdb=1, num_feat=16, num_grow_ch=8, drop_path_rate=0.0,
+        fused=True, fused_interpret=True,
+    )
+    s0, b0 = create_hat_train_state(jax.random.PRNGKey(0), **kwargs)
+    s1, b1 = create_hat_train_state(jax.random.PRNGKey(0), **kwargs, fused_mesh=mesh)
+    step0 = make_hat_train_step(b0, accum_steps=2, augment=False)
+    step1 = make_hat_train_step(b1, accum_steps=2, augment=False)
+    batch = _batch(2, 8, 64, 256, seed=7)
+    lr = cosine_annealing_lr(1)
+
+    s0n, m0 = step0(s0, batch, lr, lr, warmup=False)
+
+    s1r = replicate(s1, mesh)
+    bd = shard_batch(batch, mesh, batch_axis=1)
+    s1n, m1 = step1(s1r, bd, lr, lr, warmup=False)
+
+    np.testing.assert_allclose(
+        float(m1["loss_g"]), float(m0["loss_g"]), rtol=5e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        float(m1["loss_d"]), float(m0["loss_d"]), rtol=5e-4, atol=5e-5
+    )
+    leaf = jax.tree_util.tree_leaves(s1n.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
+    ref_leaves = jax.tree_util.tree_leaves(s0n.g_params)
+    got_leaves = jax.tree_util.tree_leaves(s1n.g_params)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5)

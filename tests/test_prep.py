@@ -89,6 +89,65 @@ def test_wcs_header_roundtrip():
     np.testing.assert_allclose(back.crpix, w.crpix)
 
 
+def _sip_header():
+    """Synthetic ASTAP-style solved header with 2nd-order SIP distortion."""
+    return {
+        "CTYPE1": "RA---TAN-SIP", "CTYPE2": "DEC--TAN-SIP",
+        "CRVAL1": 10.0, "CRVAL2": 20.0, "CRPIX1": 50.0, "CRPIX2": 50.0,
+        "CD1_1": -2.8e-4, "CD1_2": 1e-6, "CD2_1": -1e-6, "CD2_2": 2.8e-4,
+        "A_ORDER": 2, "A_0_2": 1.1e-6, "A_1_1": -2.3e-6, "A_2_0": 3.7e-6,
+        "B_ORDER": 2, "B_0_2": -1.9e-6, "B_1_1": 2.9e-6, "B_2_0": -1.3e-6,
+    }
+
+
+def test_wcs_sip_forward_matches_manual_polynomial():
+    """SIP A/B terms shift the intermediate pixel before CD (Shupe 2005);
+    the reference honored these via astropy (Dataset_step1:224-248)."""
+    h = _sip_header()
+    w = TanWCS.from_header(h)
+    assert w.has_sip
+    px, py = 80.0, 30.0
+    u = px + 1 - h["CRPIX1"]
+    v = py + 1 - h["CRPIX2"]
+    du = h["A_0_2"] * v**2 + h["A_1_1"] * u * v + h["A_2_0"] * u**2
+    dv = h["B_0_2"] * v**2 + h["B_1_1"] * u * v + h["B_2_0"] * u**2
+    plain = TanWCS.from_header({k: v for k, v in h.items() if k.startswith("C")})
+    ra_exp, dec_exp = plain.pixel_to_world(
+        np.array([u + du + h["CRPIX1"] - 1]), np.array([v + dv + h["CRPIX2"] - 1])
+    )
+    ra, dec = w.pixel_to_world(np.array([px]), np.array([py]))
+    np.testing.assert_allclose([ra[0], dec[0]], [ra_exp[0], dec_exp[0]], atol=1e-12)
+    # and the distortion is actually nonzero (silently ignoring it would fail)
+    ra_p, dec_p = plain.pixel_to_world(np.array([px]), np.array([py]))
+    assert abs(ra[0] - ra_p[0]) > 1e-9 or abs(dec[0] - dec_p[0]) > 1e-9
+
+
+def test_wcs_sip_world_pixel_roundtrip_iterative():
+    """world_to_pixel inverts the forward SIP by fixed-point iteration when
+    no AP/BP inverse polynomials are in the header."""
+    w = TanWCS.from_header(_sip_header())
+    xx, yy = np.meshgrid(np.linspace(0, 99, 5), np.linspace(0, 99, 5))
+    ra, dec = w.pixel_to_world(xx, yy)
+    px, py = w.world_to_pixel(ra, dec)
+    np.testing.assert_allclose(px, xx, atol=1e-7)
+    np.testing.assert_allclose(py, yy, atol=1e-7)
+
+
+def test_wcs_sip_header_roundtrip_and_guards():
+    import pytest
+
+    w = TanWCS.from_header(_sip_header())
+    back = TanWCS.from_header(w.to_header())
+    np.testing.assert_allclose(back.sip_a, w.sip_a)
+    np.testing.assert_allclose(back.sip_b, w.sip_b)
+    assert "SIP" in w.to_header()["CTYPE1"]
+    # slice/scaled_lr would silently move the SIP origin -> loud refusal
+    with pytest.raises(ValueError, match="SIP"):
+        w.slice(10, 10)
+    with pytest.raises(ValueError, match="SIP"):
+        w.scaled_lr(4.0)
+
+
 def test_angular_separation():
     assert abs(angular_separation_deg(0, 0, 0, 1) - 1.0) < 1e-9
     assert abs(angular_separation_deg(10, 89, 190, 89) - 2.0) < 1e-6
@@ -187,6 +246,40 @@ def test_normalize_and_split_end_to_end(tmp_path):
     counts = prepare_full_dataset(tmp_path / "t")
     assert counts["train"] >= 1
     assert (tmp_path / "t" / "8_dataset_split" / "splits_json" / "train.json").exists()
+
+
+def test_prep_logger_and_artifacts(tmp_path):
+    """Step-1-style timestamped log file + step-3/4 zip + debug artifacts
+    (Dataset_step1:44-54, Dataset_step3:431-435, Dataset_step4:179-189)."""
+    from superresolution_def_tpu.prep import make_prep_logger
+
+    log, log_path = make_prep_logger(tmp_path / "logs", prefix="prep")
+    log("hello step")
+    assert log_path.exists() and "hello step" in log_path.read_text()
+
+    hdir, odir, _, _ = _synthetic_sky(tmp_path)
+    pairs = tmp_path / "t" / "6_patches_final"
+    dbg3 = tmp_path / "t" / "6_patches_final_debug"
+    n = extract_patches(
+        hdir, odir, pairs, stride=200, hr_size=512, lr_size=128,
+        target_name="t", debug_dir=dbg3, debug_samples=2, zip_outputs=True,
+        log=log,
+    )
+    assert n >= 1
+    assert (tmp_path / "t" / "t_patches.zip").exists()
+    assert (tmp_path / "t" / "t_debug_visuals.zip").exists()
+    assert len(list(dbg3.glob("*_card.png"))) >= 1
+
+    ready = tmp_path / "t" / "7_dataset_ready_LOG"
+    dbg4 = tmp_path / "t" / "7_dataset_ready_LOG_debug"
+    m = normalize_target(
+        pairs, ready, debug_dir=dbg4, debug_interval=1, zip_debug=True, log=log
+    )
+    assert m == n
+    assert len(list(dbg4.glob("check_pair_*.png"))) == m
+    assert (tmp_path / "t" / "debug_checks_clip_4.0.zip").exists()
+    # the log captured step output too
+    assert "[step3]" in log_path.read_text()
 
 
 def test_registration_synthetic(tmp_path):

@@ -60,6 +60,23 @@ class TestSwinIRParity:
         # <=0.01 dB PSNR equivalence needs per-pixel agreement ~1e-4 here
         assert err.max() < 2e-4, f"max abs err {err.max()}"
 
+    def test_forward_matches_torch_flagship_config(self):
+        """Parity lock at the ACTUAL train config (train_swin.py:147-149:
+        128->512, embed 180, depths (6,)*6, effective mlp_ratio 4) — 36
+        stacked blocks could amplify per-block drift that the reduced
+        configs hide (VERDICT r2 #4). Measured max-abs 2.1e-07 on this
+        host; 5e-6 gives 20x headroom and still implies far below the
+        0.01 dB PSNR gate. ~2 min on a 1-core CPU host."""
+        ref, model, variables = make_pair(
+            img_size=128, embed_dim=180, depths=(6,) * 6, heads=(6,) * 6
+        )
+        x = RNG.random((1, 128, 128, 1)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+        ours = model.apply(variables, jnp.asarray(x))
+        err = np.abs(np.asarray(ours).transpose(0, 3, 1, 2) - expected.numpy())
+        assert err.max() < 5e-6, f"max abs err {err.max()}"
+
     def test_param_tree_covers_all_torch_weights(self):
         ref, model, variables = make_pair()
         x = jnp.zeros((1, 32, 32, 1))
