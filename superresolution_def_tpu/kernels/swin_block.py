@@ -957,8 +957,16 @@ def _ad_bwd(num_heads, scale, block_windows, res, dout):
     ) = res
     # fp32 (blk*n, hidden) intermediates dominate the mlp-bwd live set:
     # 32-window tiles fit at hidden<=384 but overflow scoped vmem by 5.6MB
-    # at the flagship hidden=720 (effective mlp_ratio 4)
-    mlp_cap = 32 if w1.shape[1] <= 384 else 16
+    # at the flagship hidden=720 (effective mlp_ratio 4); the tanh-GELU
+    # derivative keeps one more live (blk*n, hidden) f32 than the erf one
+    # and overflows 16-window tiles by 0.79M, so it drops to 8 (measured:
+    # fast=True blk=16 FAIL / blk=8 OK, fast=False blk=16 OK).
+    if w1.shape[1] <= 384:
+        mlp_cap = 32
+    elif w1.dtype == jnp.bfloat16 and FAST_GELU_BF16:
+        mlp_cap = 8
+    else:
+        mlp_cap = 16
     dh, dln2s, dln2b, dw1, db1, dw2, db2 = _bwd_mlp(
         h, dout, ln2_scale, ln2_bias, w1, b1, w2, b2,
         block_windows=min(block_windows, mlp_cap),
