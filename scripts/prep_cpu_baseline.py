@@ -25,6 +25,12 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# host-CPU baseline: keep jax off the TPU (sitecustomize force-registers the
+# axon plugin; the env var alone is ignored — in-process update required)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from superresolution_def_tpu.prep import TanWCS, write_fits, read_fits  # noqa: E402
 from superresolution_def_tpu.prep.reproject import reproject_bilinear  # noqa: E402
 

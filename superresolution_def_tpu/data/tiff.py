@@ -27,8 +27,11 @@ def read_tiff_u16(path: str | Path) -> np.ndarray:
 
 
 def write_tiff_u16(path: str | Path, img01: np.ndarray) -> None:
-    """Write a [0,1] float image as 16-bit TIFF (reference save_tiff_16bit)."""
+    """Write a [0,1] float image as 16-bit TIFF (reference save_tiff_16bit).
+
+    uint16 input is written as-is (already-quantized device output)."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    arr = np.clip(np.asarray(img01, dtype=np.float64), 0.0, 1.0)
-    u16 = (arr * 65535.0).astype(np.uint16)
-    Image.fromarray(u16).save(str(path))  # uint16 -> PIL mode 'I;16'
+    arr = np.asarray(img01)
+    if arr.dtype != np.uint16:
+        arr = (np.clip(arr.astype(np.float64), 0.0, 1.0) * 65535.0).astype(np.uint16)
+    Image.fromarray(arr).save(str(path))  # uint16 -> PIL mode 'I;16'

@@ -6,6 +6,7 @@ from .register import process_step1_folder, main_registration, extract_wcs_info
 from .mosaic import mosaic_check
 from .patches import extract_patches, calculate_stride_for_target
 from .normalize_pipeline import calculate_robust_stats, normalize_target
+from .fused import fused_prep_target
 from .splits import prepare_full_dataset
 from .logging_util import make_prep_logger
 
@@ -27,6 +28,7 @@ __all__ = [
     "calculate_stride_for_target",
     "calculate_robust_stats",
     "normalize_target",
+    "fused_prep_target",
     "prepare_full_dataset",
     "make_prep_logger",
 ]

@@ -1,0 +1,254 @@
+"""Single-dispatch fused dataset prep — BASELINE config #5's hot path.
+
+The reference runs steps 3+4 as per-patch CPU loops: one `reproject_interp`
+per patch (Dataset_step3_extractpatches.py:247-252) and a two-pass
+DataLoader-sampled normalization (Dataset_step4_normalization.py:51-93,
+151-183). The step-wise TPU port (`extract_patches` + `normalize_target`)
+already batches the device math, but still moves every patch across the
+host<->device link several times (f32 both ways), which dominates wall
+time on links slower than PCIe (measured: the batched-per-stage path
+spends >40 s of a 50 s run in transfers over the axon tunnel).
+
+This module runs the whole LR pipeline as ONE jitted device program per
+observatory frame:
+
+    upload source frame + sampling grids once
+      -> bilinear reprojection of every candidate patch (vmapped gather)
+      -> coverage filter (Dataset_step3:255-257 semantics)
+      -> EXACT global percentiles over the kept patches' valid pixels
+         (log-stretched, > MIN_VALID, multiset over patches)
+      -> log1p -> affine normalize -> clip -> uint16
+    download ONLY the final uint16 patches + the keep mask.
+
+The HR stream never needs the device at all — its patches are slices of a
+frame already in host memory, and normalization is elementwise — so it
+runs as vectorized numpy on the host, overlapping the device round-trip.
+FITS pairs (6_patches_final layout) and uint16 TIFFs (7_dataset_ready_LOG
+layout) are written exactly like the step-wise path.
+
+Documented deviation from the step-wise path: percentile stats are exact
+(over ALL valid pixels of the kept patches) instead of the reference's
+4000-px-per-image random subsample (Dataset_step4:26,75-80) — the
+subsample exists only to keep the CPU pass cheap; with the data on device
+the exact reduction is cheaper than the bookkeeping. The step-wise
+`normalize_target` keeps the sampled semantics for reference parity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .fits import read_fits, write_fits
+from .wcs import TanWCS
+from .reproject import source_pixel_grid
+from .patches import (
+    HR_SIZE,
+    AI_LR_SIZE,
+    MIN_COVERAGE,
+    MIN_PIXEL_VALUE,
+    calculate_stride_for_target,
+)
+from .normalize_pipeline import (
+    MIN_VALID,
+    BLACK_CLIP_PERCENTILE,
+    WHITE_CLIP_PERCENTILE,
+)
+from ..data.tiff import write_tiff_u16
+
+
+def _masked_percentiles(v, mask, pcts):
+    """np.percentile('linear') over v[mask], jit-safe with static shapes.
+
+    Invalid entries sort to +inf; the virtual index is computed against the
+    valid count and linearly interpolated, exactly like numpy's default.
+    """
+    flat = jnp.where(mask, v, jnp.inf).ravel()
+    srt = jnp.sort(flat)
+    n = jnp.sum(mask)
+    out = []
+    for p in pcts:
+        pos = (n - 1).astype(jnp.float32) * (p / 100.0)
+        lo_i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, flat.size - 1)
+        hi_i = jnp.clip(lo_i + 1, 0, flat.size - 1)
+        frac = pos - lo_i.astype(jnp.float32)
+        lo_v = srt[lo_i]
+        hi_v = jnp.where(hi_i < n, srt[hi_i], lo_v)  # don't touch the infs
+        out.append(lo_v + (hi_v - lo_v) * frac)
+    return out
+
+
+def _bilinear_gather(src, px, py):
+    h, w = src.shape
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx, fy = px - x0, py - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+
+    def at(yy, xx):
+        return src[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+
+    out = (
+        at(y0i, x0i) * (1 - fy) * (1 - fx)
+        + at(y0i, x0i + 1) * (1 - fy) * fx
+        + at(y0i + 1, x0i) * fy * (1 - fx)
+        + at(y0i + 1, x0i + 1) * fy * fx
+    )
+    eps = 1e-3
+    inside = (px >= -eps) & (px <= w - 1 + eps) & (py >= -eps) & (py <= h - 1 + eps)
+    return jnp.where(inside, out, 0.0)  # reproject-NaN -> nan_to_num fused
+
+
+@functools.partial(jax.jit, static_argnames=("want_raw",))
+def _lr_device_program(src, pxs, pys, want_raw: bool = False):
+    """(N,h,w) reprojection + coverage + exact stats + normalize + u16."""
+    patches = jax.vmap(lambda p, q: _bilinear_gather(src, p, q))(pxs, pys)
+    n_px = patches.shape[1] * patches.shape[2]
+    keep = (
+        jnp.sum(patches > MIN_PIXEL_VALUE, axis=(1, 2)) >= n_px * MIN_COVERAGE
+    )
+    v = jnp.log1p(jnp.maximum(patches, 0.0))
+    mask = (patches > MIN_VALID) & keep[:, None, None]
+    lo, hi = _masked_percentiles(
+        v, mask, (BLACK_CLIP_PERCENTILE, WHITE_CLIP_PERCENTILE)
+    )
+    v01 = jnp.clip((v - lo) / (hi - lo + 1e-8), 0.0, 1.0)
+    # truncation, matching the reference's `(v*65535).astype(uint16)`
+    u16 = (v01 * 65535.0).astype(jnp.uint16)
+    raw = patches if want_raw else jnp.zeros((), patches.dtype)
+    return u16, keep, lo, hi, raw
+
+
+def _hr_host_stream(d_h, candidates, hr_size):
+    """HR patches + exact multiset percentiles + u16, vectorized numpy."""
+    stack = np.stack([d_h[y : y + hr_size, x : x + hr_size] for y, x in candidates])
+    v = np.log1p(np.maximum(stack, 0.0))
+    valid = stack > MIN_VALID
+    if valid.any():
+        lo, hi = np.percentile(
+            v[valid], (BLACK_CLIP_PERCENTILE, WHITE_CLIP_PERCENTILE)
+        )
+    else:
+        lo, hi = 0.0, 1.0
+    v01 = np.clip((v - lo) / (hi - lo + 1e-8), 0.0, 1.0)
+    return stack, (v01 * 65535.0).astype(np.uint16), float(lo), float(hi)
+
+
+def fused_prep_target(
+    hubble_reg_dir: str | Path,
+    obs_reg_dir: str | Path,
+    pairs_dir: str | Path,
+    ready_dir: str | Path,
+    *,
+    target_name: str = "",
+    desired_count: int | None = None,
+    stride: int | None = None,
+    hr_size: int = HR_SIZE,
+    lr_size: int = AI_LR_SIZE,
+    write_fits_pairs: bool = True,
+    log=print,
+) -> int:
+    """Steps 3+4 fused: registered frames -> FITS pairs + uint16 TIFF pairs.
+
+    Returns the number of pairs written. Produces the same on-disk layouts
+    as `extract_patches` + `normalize_target` (6_patches_final pair dirs
+    when ``write_fits_pairs`` and the 7_dataset_ready_LOG TIFF dirs).
+    """
+    pairs_dir, ready_dir = Path(pairs_dir), Path(ready_dir)
+    pairs_dir.mkdir(parents=True, exist_ok=True)
+    ready_dir.mkdir(parents=True, exist_ok=True)
+    h_files = sorted(Path(hubble_reg_dir).glob("reg_*.fits"))
+    o_files = sorted(Path(obs_reg_dir).glob("reg_*.fits"))
+    if not h_files or not o_files:
+        log("[fused-prep] missing registered frames")
+        return 0
+    if stride is None:
+        stride = calculate_stride_for_target(target_name, desired_count)
+
+    h_img = read_fits(h_files[0])
+    d_h = np.nan_to_num(h_img.data)
+    w_h = TanWCS.from_header(h_img.header)
+    h_center = w_h.crval
+
+    # candidate grid, HR-coverage-filtered on host (slices of resident data)
+    hh, ww = d_h.shape
+    candidates, cand_wcs = [], []
+    for y in range(0, hh - hr_size + 1, stride):
+        for x in range(0, ww - hr_size + 1, stride):
+            patch = d_h[y : y + hr_size, x : x + hr_size]
+            if np.count_nonzero(patch > MIN_PIXEL_VALUE) < patch.size * MIN_COVERAGE:
+                continue
+            pw = w_h.slice(y, x)
+            candidates.append((y, x))
+            cand_wcs.append((pw, pw.scaled_lr(hr_size / lr_size)))
+    if not candidates:
+        log("[fused-prep] no candidates above coverage")
+        return 0
+    log(f"[fused-prep] stride={stride}: {len(candidates)} candidates")
+
+    t0 = time.perf_counter()
+    idx = 0
+    for o_file in o_files:
+        try:
+            o_img = read_fits(o_file)
+            w_o = TanWCS.from_header(o_img.header)
+        except Exception as e:
+            log(f"[fused-prep] unreadable {o_file.name}: {e}")
+            continue
+        dist = math.sqrt(
+            (w_o.crval[0] - h_center[0]) ** 2 + (w_o.crval[1] - h_center[1]) ** 2
+        )
+        if dist >= 0.1:  # reference distance filter (Dataset_step3:401-409)
+            continue
+        d_o = np.nan_to_num(o_img.data)
+
+        grids = [
+            source_pixel_grid(w_o, lrw, (lr_size, lr_size))
+            for _, lrw in cand_wcs
+        ]
+        pxs = np.stack([g[0] for g in grids])
+        pys = np.stack([g[1] for g in grids])
+
+        # ONE dispatch: everything LR on device; HR runs on host meanwhile
+        fut = _lr_device_program(
+            jnp.asarray(d_o), jnp.asarray(pxs), jnp.asarray(pys),
+            want_raw=write_fits_pairs,
+        )
+        hr_stack, hr_u16, hr_lo, hr_hi = _hr_host_stream(
+            d_h, candidates, hr_size
+        )
+        lr_u16, keep, lr_lo, lr_hi, lr_raw = (np.asarray(r) for r in fut)
+        log(
+            f"[fused-prep] {o_file.name}: hr[{hr_lo:.5f},{hr_hi:.5f}] "
+            f"lr[{float(lr_lo):.5f},{float(lr_hi):.5f}] keep {int(keep.sum())}"
+        )
+
+        # recompute LR f32 patches host-side only if FITS pairs are wanted
+        for ci, ((y, x), (pw, lrw)) in enumerate(zip(candidates, cand_wcs)):
+            if not keep[ci]:
+                continue
+            name = f"pair_{idx:06d}"
+            if write_fits_pairs:
+                pd = pairs_dir / name
+                pd.mkdir(exist_ok=True)
+                write_fits(
+                    pd / "hubble.fits", hr_stack[ci].astype(np.float32),
+                    pw.to_header(),
+                )
+                write_fits(
+                    pd / "observatory.fits", lr_raw[ci].astype(np.float32),
+                    lrw.to_header(),
+                )
+            rd = ready_dir / name
+            rd.mkdir(exist_ok=True)
+            write_tiff_u16(rd / "hubble.tiff", hr_u16[ci])
+            write_tiff_u16(rd / "observatory.tiff", lr_u16[ci])
+            idx += 1
+    log(f"[fused-prep] wrote {idx} pairs in {time.perf_counter() - t0:.2f}s")
+    return idx

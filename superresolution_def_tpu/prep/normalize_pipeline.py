@@ -87,31 +87,44 @@ def normalize_target(
     hr_lo, hr_hi = calculate_robust_stats(hr_paths, use_log_stretch=use_log_stretch, log=log)
     lr_lo, lr_hi = calculate_robust_stats(lr_paths, use_log_stretch=use_log_stretch, log=log)
 
+    # Pass 2 runs in CHUNKED BATCHES: one device call per (chunk, stream)
+    # instead of one per pair. Per-pair dispatch over the axon tunnel costs
+    # ~150 ms of latency each — measured 49.7 s for 169 pairs per-pair vs
+    # ~2 s batched (the device compute itself is trivial).
+    chunk_size = 32
     n = 0
-    for d in pair_dirs:
-        try:
-            hr = np.nan_to_num(read_fits(d / "hubble.fits").data)
-            lr = np.nan_to_num(read_fits(d / "observatory.fits").data)
-        except Exception as e:
-            log(f"[step4] skipping {d.name}: {e}")
+    for c0 in range(0, len(pair_dirs), chunk_size):
+        chunk = pair_dirs[c0 : c0 + chunk_size]
+        hrs, lrs, good = [], [], []
+        for d in chunk:
+            try:
+                hrs.append(np.nan_to_num(read_fits(d / "hubble.fits").data))
+                lrs.append(np.nan_to_num(read_fits(d / "observatory.fits").data))
+                good.append(d)
+            except Exception as e:
+                log(f"[step4] skipping {d.name}: {e}")
+        if not good:
             continue
-        hr01 = log_stretch_normalize(jnp.asarray(hr), hr_lo, hr_hi, use_log_stretch)
-        lr01 = log_stretch_normalize(jnp.asarray(lr), lr_lo, lr_hi, use_log_stretch)
-        pd = out_dir / d.name
-        pd.mkdir(parents=True, exist_ok=True)
-        write_tiff_u16(pd / "hubble.tiff", np.asarray(hr01))
-        write_tiff_u16(pd / "observatory.tiff", np.asarray(lr01))
-        if debug_dir is not None and n % debug_interval == 0:
-            from .diagnostics import save_normalization_debug
+        hr01b = np.asarray(log_stretch_normalize(
+            jnp.asarray(np.stack(hrs)), hr_lo, hr_hi, use_log_stretch))
+        lr01b = np.asarray(log_stretch_normalize(
+            jnp.asarray(np.stack(lrs)), lr_lo, lr_hi, use_log_stretch))
+        for d, hr, lr, hr01, lr01 in zip(good, hrs, lrs, hr01b, lr01b):
+            pd = out_dir / d.name
+            pd.mkdir(parents=True, exist_ok=True)
+            write_tiff_u16(pd / "hubble.tiff", hr01)
+            write_tiff_u16(pd / "observatory.tiff", lr01)
+            if debug_dir is not None and n % debug_interval == 0:
+                from .diagnostics import save_normalization_debug
 
-            save_normalization_debug(
-                hr, lr,
-                (np.asarray(hr01) * 65535.0).astype(np.uint16),
-                (np.asarray(lr01) * 65535.0).astype(np.uint16),
-                BLACK_CLIP_PERCENTILE,
-                Path(debug_dir) / f"check_{d.name}.png",
-            )
-        n += 1
+                save_normalization_debug(
+                    hr, lr,
+                    (hr01 * 65535.0).astype(np.uint16),
+                    (lr01 * 65535.0).astype(np.uint16),
+                    BLACK_CLIP_PERCENTILE,
+                    Path(debug_dir) / f"check_{d.name}.png",
+                )
+            n += 1
     log(f"[step4] normalized {n} pairs -> {out_dir}")
     if zip_debug and debug_dir is not None and Path(debug_dir).exists():
         import shutil
