@@ -26,21 +26,27 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def chained_time(fn, x, n=12, reps=3):
-    """Median end-to-end time of n chained applications of fn."""
+    """Median end-to-end time of n chained applications of fn.
+
+    Syncs by fetching a scalar that data-depends on the final iteration —
+    bare block_until_ready does NOT reliably wait over the axon tunnel
+    (STATUS.md; round-2 timing-artifact correction)."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def loop(x0):
         def body(_, c):
             return fn(c)
 
-        return jax.lax.fori_loop(0, n, body, x0)
+        out = jax.lax.fori_loop(0, n, body, x0)
+        return jnp.sum(out.astype(jnp.float32))
 
-    loop(x).block_until_ready()
+    float(jax.device_get(loop(x)))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        loop(x).block_until_ready()
+        float(jax.device_get(loop(x)))
         times.append(time.perf_counter() - t0)
     return min(times) / n
 
@@ -358,15 +364,124 @@ def vgg_breakdown(batch=2, dtype_name="bf16"):
     print(json.dumps({k: round(v * 1000, 3) for k, v in results.items()}))
 
 
+def hat_train_breakdown(micro=1, dtype_name="bf16", impl="fused"):
+    """Where config #4's optimizer step spends its time: per micro-batch
+    component costs (G train fwd, G fwd+bwd, D phases, VGG term) at the
+    bench's exact model/loss configuration. ms are per micro-batch of
+    ``micro`` patches; the full step is accum x (G phase + D phase)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_def_tpu.train import (
+        CombinedGANLoss,
+        create_hat_train_state,
+    )
+    from superresolution_def_tpu.train.losses import DiscriminatorLoss, l1_loss
+    from superresolution_def_tpu.train.steps import _d_apply_pair
+    from superresolution_def_tpu.train.vgg import VGG19Features, init_vgg_params
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    attn = None if impl == "fused" else impl
+    state, bundle = create_hat_train_state(
+        jax.random.PRNGKey(0), img_size=128, dtype=dtype, attn_impl=attn,
+        fused=(impl == "fused"),
+    )
+    g_apply, d_apply = bundle.g_apply, bundle.d_apply
+    g_params, d_params, spec = state.g_params, state.d_params, state.spectral
+
+    vgg_params = init_vgg_params(cutoff=35, seed=0)
+    vgg_model = VGG19Features(cutoff=35, dtype=dtype)
+    vgg_apply = lambda v: vgg_model.apply({"params": vgg_params}, v)  # noqa: E731
+    crit_g = CombinedGANLoss(
+        pixel_weight=1.0, perceptual_weight=1.0, adversarial_weight=0.005,
+        vgg_apply=vgg_apply,
+    )
+    crit_g_novgg = CombinedGANLoss(
+        pixel_weight=1.0, perceptual_weight=0.0, adversarial_weight=0.005
+    )
+    crit_d = DiscriminatorLoss()
+    dkey = jax.random.PRNGKey(7)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((micro, 128, 128, 1), np.float32), dtype)
+    hr01 = jnp.asarray(rng.random((micro, 512, 512, 1), np.float32))
+
+    def dep(v, scalar):
+        # keep the chain data-dependent without perturbing magnitudes
+        return v * 0.999 + (scalar * 1e-12).astype(v.dtype)
+
+    results = {}
+
+    def g_fwd(v):
+        sr = g_apply({"params": g_params}, v, False, rngs={"droppath": dkey})
+        return dep(v, jnp.sum(sr.astype(jnp.float32)))
+
+    results["g_fwd_train"] = chained_time(g_fwd, x)
+
+    def g_l1_grad(v):
+        def loss(p):
+            sr = g_apply({"params": p}, v, False, rngs={"droppath": dkey})
+            return l1_loss(sr, hr01)
+
+        g = jax.grad(loss)(g_params)
+        leaf = jax.tree_util.tree_leaves(g)[0]
+        return dep(v, jnp.sum(leaf.astype(jnp.float32)))
+
+    results["g_l1_fwd_bwd"] = chained_time(g_l1_grad, x)
+
+    def g_phase(crit):
+        def fn(v):
+            def loss(p):
+                sr = g_apply({"params": p}, v, False, rngs={"droppath": dkey})
+                d_fake, d_real, _ = _d_apply_pair(d_apply, d_params, spec, sr, hr01)
+                lg, _ = crit(sr, hr01, jax.lax.stop_gradient(d_real), d_fake)
+                return lg
+
+            g = jax.grad(loss)(g_params)
+            leaf = jax.tree_util.tree_leaves(g)[0]
+            return dep(v, jnp.sum(leaf.astype(jnp.float32)))
+
+        return fn
+
+    results["g_phase_full"] = chained_time(g_phase(crit_g), x)
+    results["g_phase_novgg"] = chained_time(g_phase(crit_g_novgg), x)
+
+    sr_fixed = jnp.asarray(rng.random((micro, 512, 512, 1), np.float32))
+
+    def d_phase(v512):
+        def loss(dp):
+            d_fake, d_real, _ = _d_apply_pair(d_apply, dp, spec, v512, hr01)
+            ld, _ = crit_d(d_real, d_fake)
+            return ld
+
+        g = jax.grad(loss)(d_params)
+        leaf = jax.tree_util.tree_leaves(g)[0]
+        return dep(v512, jnp.sum(leaf.astype(jnp.float32)))
+
+    results["d_phase"] = chained_time(d_phase, sr_fixed)
+
+    for k, v in results.items():
+        print(f"{k:>16}: {v*1000:8.2f} ms/micro  ({micro/v:7.2f} patches/s)")
+    est = results["g_phase_full"] + results["d_phase"]
+    print(f"micro-step estimate (G+D phases): {est*1000:.2f} ms "
+          f"-> {micro/est:.2f} p/s at accum x micro")
+    print(json.dumps({k: round(v * 1000, 3) for k, v in results.items()}))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--what", default="hybrid", choices=["hybrid", "hat", "vgg"])
+    p.add_argument(
+        "--what", default="hybrid", choices=["hybrid", "hat", "vgg", "hat-train"]
+    )
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--impl", default="fused", choices=["fused", "xla"])
     args = p.parse_args()
     if args.what == "hat":
         hat_breakdown(batch=args.batch)
     elif args.what == "vgg":
         vgg_breakdown(batch=min(args.batch, 2))
+    elif args.what == "hat-train":
+        hat_train_breakdown(micro=args.batch, impl=args.impl)
     else:
         hybrid_breakdown(batch=args.batch)
 

@@ -232,17 +232,27 @@ def make_fused_hat_train(
     drop_path_rate: float = 0.1,
     block_windows: int = 16,
     dtype=jnp.bfloat16,
+    fused_ocab: bool = True,
 ):
     """Differentiable fused-HAB HAT forward for TRAINING.
 
     hat_apply(params, x, deterministic, rng) — every HAB runs through the
     custom-VJP window core (kernels/hab_train.py: fused forward + split
     mlp/attention backward kernels, shift mask and per-sample drop-path
-    included). CAB, OCAB, convs and the upsample head stay XLA and are
-    differentiated by autodiff. Drop-path rates follow the reference
-    linspace(0, drop_path_rate) over all blocks (hat_arch.py:761).
+    included), and with ``fused_ocab`` each RHAG's OCAB tail runs through
+    its own custom VJP (kernels/ocab_train.py). CAB, convs and the
+    upsample head stay XLA and are differentiated by autodiff. Drop-path
+    rates follow the reference linspace(0, drop_path_rate) over all
+    blocks (hat_arch.py:761).
     """
     from .hab_train import hab_core_ad
+    from .ocab_train import ocab_train
+
+    ocab_fn = (
+        (lambda p, x, ws_, ovr, heads: ocab_train(p, x, ws_, ovr, heads, block_windows))
+        if fused_ocab
+        else _ocab
+    )
 
     ws = window_size
     dpr = np.linspace(0.0, drop_path_rate, int(sum(depths)))
@@ -326,7 +336,7 @@ def make_fused_hat_train(
                     0 if j % 2 == 0 else ws // 2, mask_tiled, zeros_mask,
                     dp1, dp2,
                 )
-            res = _ocab(g["overlap_attn"], res, ws, overlap_ratio, num_heads[i])
+            res = ocab_fn(g["overlap_attn"], res, ws, overlap_ratio, num_heads[i])
             res = _conv3(g["conv"], res) + gin
         res = _ln(params["norm"], res)
         feat = _conv3(params["conv_after_body"], res) + feat

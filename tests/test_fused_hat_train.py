@@ -69,6 +69,43 @@ def test_default_fused_path_flax_backbone_outputs_match():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=5e-5, rtol=2e-4)
 
 
+def test_ocab_train_grads_match_xla():
+    """kernels/ocab_train.ocab_train vs the XLA _ocab: forward and full
+    gradient parity (x and every OCAB param, incl. the rel-pos bias table)
+    in fp32 interpret mode."""
+    from superresolution_def_tpu.models.hat import OCAB
+    from superresolution_def_tpu.kernels.fused_hat import _ocab
+    from superresolution_def_tpu.kernels.ocab_train import ocab_train
+
+    dim, ws, heads = 30, 8, 6
+    h = w = 16
+    mod = OCAB(dim=dim, window_size=ws, overlap_ratio=0.5, num_heads=heads)
+    x0 = jnp.asarray(np.random.default_rng(0).random((1, h * w, dim), np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x0, (h, w))["params"]
+    x = x0.reshape(1, h, w, dim)
+
+    out0 = _ocab(params, x, ws, 0.5, heads)
+    with pltpu.force_tpu_interpret_mode():
+        out1 = ocab_train(params, x, ws, 0.5, heads)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=2e-5, rtol=1e-4)
+
+    tgt = out0 + 0.05
+
+    def loss(fn):
+        def f(p, xin):
+            return jnp.mean(jnp.abs(fn(p, xin, ws, 0.5, heads) - tgt))
+
+        return f
+
+    g0p, g0x = jax.grad(loss(_ocab), argnums=(0, 1))(params, x)
+    with pltpu.force_tpu_interpret_mode():
+        g1p, g1x = jax.grad(loss(ocab_train), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(g1x), np.asarray(g0x), atol=1e-5, rtol=1e-4)
+    f0, _ = jax.flatten_util.ravel_pytree(g0p)
+    f1, _ = jax.flatten_util.ravel_pytree(g1p)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=2e-5, rtol=2e-4)
+
+
 def test_fused_hab_droppath_shapes_and_mean():
     """Non-deterministic path: drop-path masks applied per sample; output
     stays finite and differs from the deterministic one."""
