@@ -74,6 +74,14 @@ def main() -> None:
              "it XLA needs 15.94G of 15.75G HBM)",
     )
     p.add_argument(
+        "--fused-hab", action="store_true",
+        help="hat train mode: route every HAB window core AND each RHAG's "
+             "OCAB tail through the custom-VJP Pallas kernels "
+             "(kernels/hab_train.py + kernels/ocab_train.py) instead of the "
+             "flax backbone. Measured 3.88 p/s pre-OCAB-backward vs 4.50 "
+             "default; re-measure after kernels/ocab_train.py landed",
+    )
+    p.add_argument(
         "--no-vgg", action="store_true",
         help="train mode: drop the VGG perceptual term (the trainers run "
              "with it ON by default — cli/trainers.py use_vgg=True; seeded "
@@ -269,6 +277,7 @@ def bench_train(args) -> None:
         state, bundle = create_hat_train_state(
             jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn,
             remat=args.remat, fused=(args.impl == "fused"),
+            fused_hab=args.fused_hab,
         )
         crit = CombinedGANLoss(
             pixel_weight=1.0, perceptual_weight=1.0, adversarial_weight=0.005,
@@ -281,6 +290,8 @@ def bench_train(args) -> None:
         metric += "_novgg"
     if args.remat:
         metric += "_remat"
+    if args.arch == "hat" and args.fused_hab:
+        metric += "_fusedhab"
 
     rng = np.random.default_rng(0)
     batch = {

@@ -82,7 +82,20 @@ def main() -> None:
                    help="copy CSV/previews here (default artifacts/learn_r03/<arch>)")
     p.add_argument("--no-bf16", action="store_true")
     p.add_argument("--fresh", action="store_true", help="wipe outputs first")
+    p.add_argument(
+        "--tiny", action="store_true",
+        help="reduced MODEL dims (embed/depths) with the identical dataset, "
+             "losses and trainer loop — a CPU-feasible learning proof for "
+             "when the TPU tunnel is unavailable; full config is the "
+             "preferred evidence",
+    )
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     root = Path(args.data_root)
     build_dataset(root, n_pairs=args.pairs)
@@ -102,9 +115,11 @@ def main() -> None:
             SwinTrainConfig, train_swin_run,
         )
 
+        tiny = dict(embed_dim=60, depths=(2, 2), num_heads=(6, 6)) if args.tiny else {}
         cfg = SwinTrainConfig(
             targets=("SYN",), data_root=str(root), outputs_root=str(out_root),
             epochs=args.epochs, use_bf16=not args.no_bf16, num_workers=4,
+            **tiny,
         )
         result = train_swin_run(cfg)
         run_dir = out_root / cfg.run_name
@@ -121,11 +136,16 @@ def main() -> None:
             HATTrainConfig, train_hat_run,
         )
 
+        tiny = (
+            dict(embed_dim=30, depths=(2, 2), num_heads=(6, 6), num_rrdb=4)
+            if args.tiny else {}
+        )
         cfg = HATTrainConfig(
             targets=("SYN",), data_root=str(root), outputs_root=str(out_root),
             epochs=args.epochs, warmup_epochs=args.warmup_epochs,
             csv_interval=1, img_interval=2, ckpt_interval=5,
             use_bf16=not args.no_bf16, num_workers=4,
+            **tiny,
         )
         result = train_hat_run(cfg)
         run_dir = out_root / cfg.run_name
