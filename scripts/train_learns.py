@@ -35,12 +35,14 @@ def synth_pair(rng: np.random.Generator, hr_size: int = 512):
     """One structured sky: smooth nebulosity + PSF-blurred stars."""
     from scipy.ndimage import gaussian_filter
 
-    # nebula: large-scale correlated background
-    neb = gaussian_filter(rng.random((hr_size, hr_size)), 48.0)
+    # nebula: large-scale correlated background (scale-invariant: sigma and
+    # star count track hr_size so smaller proofs keep the same structure)
+    neb = gaussian_filter(rng.random((hr_size, hr_size)), hr_size * 48.0 / 512.0)
     neb = (neb - neb.min()) / (np.ptp(neb) + 1e-9) * 0.25
     # stars: sparse bright points, PSF sigma ~1.5 px (HR scale)
     stars = np.zeros((hr_size, hr_size), np.float64)
-    n_stars = rng.integers(80, 160)
+    density = hr_size * hr_size / (512.0 * 512.0)
+    n_stars = rng.integers(max(4, int(80 * density)), max(8, int(160 * density)))
     ys = rng.integers(0, hr_size, n_stars)
     xs = rng.integers(0, hr_size, n_stars)
     amps = rng.pareto(2.0, n_stars) * 0.3 + 0.15
@@ -51,7 +53,9 @@ def synth_pair(rng: np.random.Generator, hr_size: int = 512):
     return hr.astype(np.float32), lr.astype(np.float32)
 
 
-def build_dataset(root: Path, n_pairs: int = 256, seed: int = 0) -> None:
+def build_dataset(
+    root: Path, n_pairs: int = 256, seed: int = 0, hr_size: int = 512
+) -> None:
     from superresolution_def_tpu.data.tiff import write_tiff_u16
     from superresolution_def_tpu.prep.splits import prepare_full_dataset
 
@@ -61,7 +65,7 @@ def build_dataset(root: Path, n_pairs: int = 256, seed: int = 0) -> None:
         return
     rng = np.random.default_rng(seed)
     for i in range(n_pairs):
-        hr, lr = synth_pair(rng)
+        hr, lr = synth_pair(rng, hr_size=hr_size)
         pd = ready / f"pair_{i:06d}"
         pd.mkdir(parents=True, exist_ok=True)
         write_tiff_u16(pd / "hubble.tiff", hr)
@@ -90,6 +94,12 @@ def main() -> None:
              "preferred evidence",
     )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--hr-size", type=int, default=512,
+        help="HR pair size for the synthetic dataset (LR = hr/4 = the "
+             "trainer's img_size). 512 is the reference config; 128 keeps a "
+             "CPU-backend proof tractable",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -98,7 +108,8 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     root = Path(args.data_root)
-    build_dataset(root, n_pairs=args.pairs)
+    build_dataset(root, n_pairs=args.pairs, hr_size=args.hr_size)
+    img_size = args.hr_size // 4
 
     out_root = Path(args.outputs_root)
     if args.fresh and out_root.exists():
@@ -119,7 +130,7 @@ def main() -> None:
         cfg = SwinTrainConfig(
             targets=("SYN",), data_root=str(root), outputs_root=str(out_root),
             epochs=args.epochs, use_bf16=not args.no_bf16, num_workers=4,
-            **tiny,
+            img_size=img_size, **tiny,
         )
         result = train_swin_run(cfg)
         run_dir = out_root / cfg.run_name
@@ -145,7 +156,7 @@ def main() -> None:
             epochs=args.epochs, warmup_epochs=args.warmup_epochs,
             csv_interval=1, img_interval=2, ckpt_interval=5,
             use_bf16=not args.no_bf16, num_workers=4,
-            **tiny,
+            img_size=img_size, **tiny,
         )
         result = train_hat_run(cfg)
         run_dir = out_root / cfg.run_name
