@@ -95,6 +95,13 @@ def main() -> None:
     )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument(
+        "--no-vgg", action="store_true",
+        help="drop the perceptual term (pixel + adversarial remain). The "
+             "in-image VGG is seeded-random-feature anyway (no pretrained "
+             "weights available); on a 1-core CPU host it dominates the "
+             "step cost, so the CPU fallback proof omits it",
+    )
+    p.add_argument(
         "--hr-size", type=int, default=512,
         help="HR pair size for the synthetic dataset (LR = hr/4 = the "
              "trainer's img_size). 512 is the reference config; 128 keeps a "
@@ -130,7 +137,7 @@ def main() -> None:
         cfg = SwinTrainConfig(
             targets=("SYN",), data_root=str(root), outputs_root=str(out_root),
             epochs=args.epochs, use_bf16=not args.no_bf16, num_workers=4,
-            img_size=img_size, **tiny,
+            img_size=img_size, use_vgg=not args.no_vgg, **tiny,
         )
         result = train_swin_run(cfg)
         run_dir = out_root / cfg.run_name
@@ -156,7 +163,7 @@ def main() -> None:
             epochs=args.epochs, warmup_epochs=args.warmup_epochs,
             csv_interval=1, img_interval=2, ckpt_interval=5,
             use_bf16=not args.no_bf16, num_workers=4,
-            img_size=img_size, **tiny,
+            img_size=img_size, use_vgg=not args.no_vgg, **tiny,
         )
         result = train_hat_run(cfg)
         run_dir = out_root / cfg.run_name
