@@ -90,13 +90,18 @@ def main() -> None:
     args = p.parse_args()
 
     if args.impl is None:
-        # same gate as cli/trainers.py: fused Pallas kernels lower only on
-        # a real TPU backend in bf16 — anywhere else default to the XLA
-        # path, which runs everywhere
-        import jax as _jax
+        if args.mode == "prep":
+            # the fused prep path is pure jnp (no Pallas) and runs on any
+            # backend — it IS the documented config #5 default everywhere
+            args.impl = "fused"
+        else:
+            # same gate as cli/trainers.py: fused Pallas kernels lower only
+            # on a real TPU backend in bf16 — anywhere else default to the
+            # XLA path, which runs everywhere
+            import jax as _jax
 
-        on_tpu_bf16 = _jax.default_backend() == "tpu" and args.dtype == "bf16"
-        args.impl = "fused" if on_tpu_bf16 else "xla"
+            on_tpu_bf16 = _jax.default_backend() == "tpu" and args.dtype == "bf16"
+            args.impl = "fused" if on_tpu_bf16 else "xla"
     if args.batch is None:
         if args.mode == "train":
             args.batch = 2 if args.arch == "swin" else 1

@@ -60,9 +60,20 @@ def build_dataset(
     from superresolution_def_tpu.prep.splits import prepare_full_dataset
 
     ready = root / "SYN" / "7_dataset_ready_LOG"
+    meta_path = root / "SYN" / "synth_meta.json"
+    meta = {"n_pairs": n_pairs, "hr_size": hr_size, "seed": seed}
     if (root / "SYN" / "8_dataset_split" / "splits_json" / "train.json").exists():
-        print(f"dataset already built at {ready}")
-        return
+        # only reuse a dataset built with the SAME parameters — a stale
+        # different-size dataset would crash the trainer or fake the proof
+        try:
+            existing = json.loads(meta_path.read_text())
+        except (OSError, ValueError):
+            existing = None
+        if existing == meta:
+            print(f"dataset already built at {ready}")
+            return
+        print(f"dataset at {root} was built with {existing}, need {meta} — rebuilding")
+        shutil.rmtree(root / "SYN")
     rng = np.random.default_rng(seed)
     for i in range(n_pairs):
         hr, lr = synth_pair(rng, hr_size=hr_size)
@@ -71,6 +82,7 @@ def build_dataset(
         write_tiff_u16(pd / "hubble.tiff", hr)
         write_tiff_u16(pd / "observatory.tiff", lr)
     counts = prepare_full_dataset(root / "SYN")
+    meta_path.write_text(json.dumps(meta))
     print(f"built {n_pairs} pairs: {counts}")
 
 

@@ -32,11 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .swin_block import _gelu, _ln_f32
-from .hab_train import _hab_bwd_mlp, _tile, _pick_blk
-
-
-def _wspec(blk, n, c):
-    return pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+from .hab_train import _hab_bwd_mlp, _tile, _pick_blk, _wspec
 
 
 def _make_ocab_fwd_h_kernel(num_heads: int, head_dim: int, scale: float):

@@ -9,25 +9,34 @@ host<->device link several times (f32 both ways), which dominates wall
 time on links slower than PCIe (measured: the batched-per-stage path
 spends >40 s of a 50 s run in transfers over the axon tunnel).
 
-This module runs the whole LR pipeline as ONE jitted device program per
-observatory frame:
+This module runs the whole LR pipeline as jitted device programs with the
+data resident on device throughout:
 
-    upload source frame + sampling grids once
+    phase 1, one dispatch per observatory frame:
+      upload source frame + sampling grids once
       -> bilinear reprojection of every candidate patch (vmapped gather)
       -> coverage filter (Dataset_step3:255-257 semantics)
-      -> EXACT global percentiles over the kept patches' valid pixels
-         (log-stretched, > MIN_VALID, multiset over patches)
+      (patches STAY on device)
+    phase 2, one dispatch per target:
+      concatenate every frame's device-resident patches
+      -> EXACT per-TARGET percentiles over the kept patches' valid pixels
+         (log-stretched, > MIN_VALID, multiset over all kept pairs —
+          the same population the staged normalize_target reads from
+          6_patches_final)
       -> log1p -> affine normalize -> clip -> uint16
-    download ONLY the final uint16 patches + the keep mask.
+    download the final uint16 patches (+ the raw f32 patches only when
+    FITS pairs are requested).
 
 The HR stream never needs the device at all — its patches are slices of a
 frame already in host memory, and normalization is elementwise — so it
-runs as vectorized numpy on the host, overlapping the device round-trip.
+runs as vectorized numpy on the host, overlapping the device round-trip;
+its per-target stats weight each HR slice by how many observatory frames
+kept it (the staged path writes one hubble.fits copy per kept pair).
 FITS pairs (6_patches_final layout) and uint16 TIFFs (7_dataset_ready_LOG
 layout) are written exactly like the step-wise path.
 
 Documented deviation from the step-wise path: percentile stats are exact
-(over ALL valid pixels of the kept patches) instead of the reference's
+(over ALL valid pixels of the kept pairs) instead of the reference's
 4000-px-per-image random subsample (Dataset_step4:26,75-80) — the
 subsample exists only to keep the CPU pass cheap; with the data on device
 the exact reduction is cheaper than the bookkeeping. The step-wise
@@ -105,39 +114,57 @@ def _bilinear_gather(src, px, py):
     return jnp.where(inside, out, 0.0)  # reproject-NaN -> nan_to_num fused
 
 
-@functools.partial(jax.jit, static_argnames=("want_raw",))
-def _lr_device_program(src, pxs, pys, want_raw: bool = False):
-    """(N,h,w) reprojection + coverage + exact stats + normalize + u16."""
+@jax.jit
+def _lr_reproject_program(src, pxs, pys):
+    """(N,h,w) reprojection + coverage keep; patches stay device-resident."""
     patches = jax.vmap(lambda p, q: _bilinear_gather(src, p, q))(pxs, pys)
     n_px = patches.shape[1] * patches.shape[2]
     keep = (
         jnp.sum(patches > MIN_PIXEL_VALUE, axis=(1, 2)) >= n_px * MIN_COVERAGE
     )
-    v = jnp.log1p(jnp.maximum(patches, 0.0))
-    mask = (patches > MIN_VALID) & keep[:, None, None]
+    return patches, keep
+
+
+@jax.jit
+def _lr_normalize_program(stack, keep):
+    """Per-TARGET stats + quantization over ALL frames' kept patches.
+
+    ``stack``: (M,h,w) every frame's reprojected patches concatenated
+    (device-resident, no re-upload); ``keep``: (M,) the per-frame coverage
+    masks. Stats run over the kept patches' valid pixels only — one (lo,hi)
+    per target, matching the staged `normalize_target` (which reads only
+    the kept pairs written to 6_patches_final)."""
+    v = jnp.log1p(jnp.maximum(stack, 0.0))
+    mask = (stack > MIN_VALID) & keep[:, None, None]
     lo, hi = _masked_percentiles(
         v, mask, (BLACK_CLIP_PERCENTILE, WHITE_CLIP_PERCENTILE)
     )
     v01 = jnp.clip((v - lo) / (hi - lo + 1e-8), 0.0, 1.0)
     # truncation, matching the reference's `(v*65535).astype(uint16)`
     u16 = (v01 * 65535.0).astype(jnp.uint16)
-    raw = patches if want_raw else jnp.zeros((), patches.dtype)
-    return u16, keep, lo, hi, raw
+    return u16, lo, hi
 
 
-def _hr_host_stream(d_h, candidates, hr_size):
-    """HR patches + exact multiset percentiles + u16, vectorized numpy."""
-    stack = np.stack([d_h[y : y + hr_size, x : x + hr_size] for y, x in candidates])
-    v = np.log1p(np.maximum(stack, 0.0))
-    valid = stack > MIN_VALID
-    if valid.any():
+def _hr_host_stats_quantize(hr_v, hr_valid, counts):
+    """Per-target HR stats over the kept-pair multiset + one u16 stack.
+
+    ``counts[c]`` = how many observatory frames kept candidate ``c``; the
+    staged pipeline writes one hubble.fits copy per kept (frame, patch)
+    pair and computes stats over those files, so duplicated HR slices
+    count once per copy here too."""
+    chunks = [
+        np.repeat(hr_v[c][hr_valid[c]], int(k)) if k > 1 else hr_v[c][hr_valid[c]]
+        for c, k in enumerate(counts) if k > 0
+    ]
+    pool = np.concatenate(chunks) if chunks else np.zeros((0,), np.float32)
+    if pool.size:
         lo, hi = np.percentile(
-            v[valid], (BLACK_CLIP_PERCENTILE, WHITE_CLIP_PERCENTILE)
+            pool, (BLACK_CLIP_PERCENTILE, WHITE_CLIP_PERCENTILE)
         )
     else:
         lo, hi = 0.0, 1.0
-    v01 = np.clip((v - lo) / (hi - lo + 1e-8), 0.0, 1.0)
-    return stack, (v01 * 65535.0).astype(np.uint16), float(lo), float(hi)
+    v01 = np.clip((hr_v - lo) / (hi - lo + 1e-8), 0.0, 1.0)
+    return (v01 * 65535.0).astype(np.uint16), float(lo), float(hi)
 
 
 def fused_prep_target(
@@ -193,7 +220,17 @@ def fused_prep_target(
     log(f"[fused-prep] stride={stride}: {len(candidates)} candidates")
 
     t0 = time.perf_counter()
-    idx = 0
+
+    # HR host work is frame-invariant — do it ONCE, overlapping the device
+    # dispatches below (stats need the per-frame keeps, quantization waits)
+    hr_stack = np.stack(
+        [d_h[y : y + hr_size, x : x + hr_size] for y, x in candidates]
+    )
+    hr_v = np.log1p(np.maximum(hr_stack, 0.0))
+    hr_valid = hr_stack > MIN_VALID
+
+    # Phase 1 — one reprojection dispatch per frame; patches stay on device
+    frames = []  # (o_file, dev_patches, dev_keep)
     for o_file in o_files:
         try:
             o_img = read_fits(o_file)
@@ -207,29 +244,44 @@ def fused_prep_target(
         if dist >= 0.1:  # reference distance filter (Dataset_step3:401-409)
             continue
         d_o = np.nan_to_num(o_img.data)
-
         grids = [
             source_pixel_grid(w_o, lrw, (lr_size, lr_size))
             for _, lrw in cand_wcs
         ]
         pxs = np.stack([g[0] for g in grids])
         pys = np.stack([g[1] for g in grids])
+        patches, keep = _lr_reproject_program(
+            jnp.asarray(d_o), jnp.asarray(pxs), jnp.asarray(pys)
+        )
+        frames.append((o_file, patches, keep))
+    if not frames:
+        log("[fused-prep] no observatory frames within 0.1 deg")
+        return 0
 
-        # ONE dispatch: everything LR on device; HR runs on host meanwhile
-        fut = _lr_device_program(
-            jnp.asarray(d_o), jnp.asarray(pxs), jnp.asarray(pys),
-            want_raw=write_fits_pairs,
-        )
-        hr_stack, hr_u16, hr_lo, hr_hi = _hr_host_stream(
-            d_h, candidates, hr_size
-        )
-        lr_u16, keep, lr_lo, lr_hi, lr_raw = (np.asarray(r) for r in fut)
-        log(
-            f"[fused-prep] {o_file.name}: hr[{hr_lo:.5f},{hr_hi:.5f}] "
-            f"lr[{float(lr_lo):.5f},{float(lr_hi):.5f}] keep {int(keep.sum())}"
-        )
+    # Phase 2 — ONE per-target stats+quantize dispatch over the
+    # device-resident concatenation of every frame's patches (staged
+    # parity: normalize_target computes one (lo,hi) per target/stream)
+    lr_u16_all, lr_lo, lr_hi = _lr_normalize_program(
+        jnp.concatenate([p for _, p, _ in frames]),
+        jnp.concatenate([k for _, _, k in frames]),
+    )
+    lr_u16_all = np.asarray(lr_u16_all)
+    keeps = [np.asarray(k) for _, _, k in frames]
+    counts = np.sum(keeps, axis=0)
+    hr_u16, hr_lo, hr_hi = _hr_host_stats_quantize(hr_v, hr_valid, counts)
+    log(
+        f"[fused-prep] target stats over {len(frames)} frame(s): "
+        f"hr[{hr_lo:.5f},{hr_hi:.5f}] lr[{float(lr_lo):.5f},{float(lr_hi):.5f}]"
+    )
 
-        # recompute LR f32 patches host-side only if FITS pairs are wanted
+    idx = 0
+    n_cand = len(candidates)
+    for fi, (o_file, patches, _) in enumerate(frames):
+        keep = keeps[fi]
+        lr_u16 = lr_u16_all[fi * n_cand : (fi + 1) * n_cand]
+        # raw LR f32 patches leave the device only if FITS pairs are wanted
+        lr_raw = np.asarray(patches) if write_fits_pairs else None
+        log(f"[fused-prep] {o_file.name}: keep {int(keep.sum())}")
         for ci, ((y, x), (pw, lrw)) in enumerate(zip(candidates, cand_wcs)):
             if not keep[ci]:
                 continue

@@ -105,10 +105,24 @@ def normalize_target(
                 log(f"[step4] skipping {d.name}: {e}")
         if not good:
             continue
-        hr01b = np.asarray(log_stretch_normalize(
-            jnp.asarray(np.stack(hrs)), hr_lo, hr_hi, use_log_stretch))
-        lr01b = np.asarray(log_stretch_normalize(
-            jnp.asarray(np.stack(lrs)), lr_lo, lr_hi, use_log_stretch))
+        # bucket by shape: pairs from different extraction runs (or a
+        # truncated FITS) may differ in size — each same-shape bucket is
+        # one batched device call, odd shapes just get their own call
+        buckets: dict = {}
+        for i, (hr, lr) in enumerate(zip(hrs, lrs)):
+            buckets.setdefault((hr.shape, lr.shape), []).append(i)
+        hr01b = [None] * len(good)
+        lr01b = [None] * len(good)
+        for idxs in buckets.values():
+            hb = np.asarray(log_stretch_normalize(
+                jnp.asarray(np.stack([hrs[i] for i in idxs])),
+                hr_lo, hr_hi, use_log_stretch))
+            lb = np.asarray(log_stretch_normalize(
+                jnp.asarray(np.stack([lrs[i] for i in idxs])),
+                lr_lo, lr_hi, use_log_stretch))
+            for j, i in enumerate(idxs):
+                hr01b[i] = hb[j]
+                lr01b[i] = lb[j]
         for d, hr, lr, hr01, lr01 in zip(good, hrs, lrs, hr01b, lr01b):
             pd = out_dir / d.name
             pd.mkdir(parents=True, exist_ok=True)

@@ -236,6 +236,7 @@ def create_hat_train_state(
             hat_fn = make_fused_hat_train(
                 depths=tuple(depths), num_heads=tuple(num_heads),
                 window_size=window_size, dtype=dtype,
+                drop_path_rate=drop_path_rate,
             )
 
             def hat_fwd(p_hat, x, deterministic, rngs):

@@ -116,3 +116,53 @@ def test_fused_skips_low_coverage(tmp_path):
         stride=128, hr_size=512, lr_size=128, log=lambda *a: None,
     )
     assert n_fused == n_staged
+
+
+def test_fused_multiframe_per_target_stats(synth_sky, tmp_path):
+    """With 2+ observatory frames, normalization stats are per TARGET, not
+    per frame: a frame at half intensity must come out darker, not be
+    re-stretched to its own range (round-3 review finding)."""
+    import shutil
+
+    sky2 = tmp_path / "sky2"
+    shutil.copytree(synth_sky, sky2)
+    a = read_fits(sky2 / "obs" / "reg_o.fits")
+    write_fits(sky2 / "obs" / "reg_o2.fits", a.data * 0.5, a.header)
+
+    n_staged = extract_patches(
+        sky2 / "hub", sky2 / "obs", tmp_path / "pairs_s",
+        stride=128, hr_size=512, lr_size=128, log=lambda *a: None,
+    )
+    m_staged = normalize_target(
+        tmp_path / "pairs_s", tmp_path / "ready_s", log=lambda *a: None
+    )
+    n_fused = fused_prep_target(
+        sky2 / "hub", sky2 / "obs",
+        tmp_path / "pairs_f", tmp_path / "ready_f",
+        stride=128, hr_size=512, lr_size=128, log=lambda *a: None,
+    )
+    assert n_staged == m_staged == n_fused > 0
+    assert n_fused % 2 == 0  # every candidate kept by both frames
+
+    half = n_fused // 2
+    bright = dark = 0.0
+    for i in range(n_fused):
+        name = f"pair_{i:06d}"
+        # raw FITS identical to the staged extractor, both frames
+        for f in ("hubble.fits", "observatory.fits"):
+            sa = read_fits(tmp_path / "pairs_s" / name / f)
+            fb = read_fits(tmp_path / "pairs_f" / name / f)
+            np.testing.assert_allclose(fb.data, sa.data, rtol=0, atol=1e-6)
+        # TIFFs agree with the staged ONE-(lo,hi)-per-target output
+        for f in ("hubble.tiff", "observatory.tiff"):
+            sa = read_tiff_u16(tmp_path / "ready_s" / name / f).astype(np.int32)
+            fb = read_tiff_u16(tmp_path / "ready_f" / name / f).astype(np.int32)
+            assert abs(sa.mean() - fb.mean()) < 65535 * 0.02
+        ob = read_tiff_u16(tmp_path / "ready_f" / name / "observatory.tiff")
+        if i < half:
+            bright += ob.mean() / half
+        else:
+            dark += ob.mean() / half
+    # the x0.5 frame is visibly darker under shared stats (it would be
+    # nearly equal under the old per-frame normalization)
+    assert dark < bright * 0.75, (dark, bright)
