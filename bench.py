@@ -395,13 +395,20 @@ def bench_prep(args) -> None:
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        base = json.load(open("BENCH_BASELINE.json"))[
+            "prep_cpu_baseline_pairs_per_sec"
+        ]
+        vs = round(m / dt / base, 2)
+    except (OSError, KeyError, ZeroDivisionError):
+        vs = None
     print(
         json.dumps(
             {
                 "metric": metric,
                 "value": round(m / dt, 3),
                 "unit": "pairs/s",
-                "vs_baseline": None,
+                "vs_baseline": vs,
             }
         )
     )
