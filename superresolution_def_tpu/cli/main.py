@@ -67,6 +67,7 @@ def cmd_prep(args) -> None:
         main_registration,
         mosaic_check,
         extract_patches,
+        fused_prep_target,
         normalize_target,
         make_prep_logger,
     )
@@ -95,19 +96,31 @@ def cmd_prep(args) -> None:
                 reg_h, reg_o, root / "4_quality_check" / f"{t}_mosaic_check.png",
                 target_name=t, log=log,
             )
-        if "3" in steps:
-            extract_patches(
+        if args.fused and {"3", "4"} <= steps:
+            # config #5 hot path: steps 3+4 as device-resident programs
+            # (prep/fused.py). No per-patch debug cards/zips on this path —
+            # use the staged steps when those artifacts are wanted.
+            fused_prep_target(
                 reg_h, reg_o, root / "6_patches_final",
-                target_name=t, desired_count=args.desired_count,
-                debug_dir=root / "6_patches_final_debug",
-                zip_outputs=True, log=log,
+                root / "7_dataset_ready_LOG",
+                target_name=t, desired_count=args.desired_count, log=log,
             )
-        if "4" in steps:
-            normalize_target(
-                root / "6_patches_final", root / "7_dataset_ready_LOG",
-                debug_dir=root / "7_dataset_ready_LOG_debug",
-                zip_debug=True, log=log,
-            )
+        else:
+            if args.fused:
+                log("[prep] --fused needs both steps 3 and 4; running staged")
+            if "3" in steps:
+                extract_patches(
+                    reg_h, reg_o, root / "6_patches_final",
+                    target_name=t, desired_count=args.desired_count,
+                    debug_dir=root / "6_patches_final_debug",
+                    zip_outputs=True, log=log,
+                )
+            if "4" in steps:
+                normalize_target(
+                    root / "6_patches_final", root / "7_dataset_ready_LOG",
+                    debug_dir=root / "7_dataset_ready_LOG_debug",
+                    zip_debug=True, log=log,
+                )
 
 
 def get_available_pair_targets(data_root: str) -> list[str]:
@@ -265,6 +278,12 @@ def main(argv=None) -> None:
     pp.add_argument("--target", default=None)
     pp.add_argument("--steps", default=None, help="comma subset of 1,2,3,4")
     pp.add_argument("--desired-count", type=int, default=None)
+    pp.add_argument(
+        "--fused", action="store_true",
+        help="run steps 3+4 as the device-resident fused pipeline "
+             "(prep/fused.py, BASELINE config #5; skips per-patch debug "
+             "cards/zips)",
+    )
 
     pt = sub.add_parser("train", help="train a generator")
     pt.add_argument("--arch", choices=["swin", "hat"], default="swin")

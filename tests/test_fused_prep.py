@@ -166,3 +166,35 @@ def test_fused_multiframe_per_target_stats(synth_sky, tmp_path):
     # the x0.5 frame is visibly darker under shared stats (it would be
     # nearly equal under the old per-frame normalization)
     assert dark < bright * 0.75, (dark, bright)
+
+
+def test_cli_prep_fused_steps34(tmp_path):
+    """`sr prep --steps 3,4 --fused` runs the fused pipeline end to end on
+    the reference on-disk layout."""
+    from superresolution_def_tpu.cli import main as climain
+
+    size, scale = 1024, 2e-4
+    rng = np.random.default_rng(5)
+    sky = (rng.random((size, size)) * 0.6 + 0.2).astype(np.float32)
+    w_h = TanWCS((10.0, 20.0), (size / 2, size / 2), cdelt=[-scale, scale])
+    t = tmp_path / "SYN"
+    (t / "1_originarie").mkdir(parents=True)  # marks SYN as a target
+    reg_h = t / "3_registered_native" / "hubble"
+    reg_o = t / "3_registered_native" / "observatory"
+    reg_h.mkdir(parents=True), reg_o.mkdir(parents=True)
+    write_fits(reg_h / "reg_h.fits", sky, w_h.to_header())
+    w_o = TanWCS(
+        (10.0, 20.0), (size / 8, size / 8), cdelt=[-scale * 4, scale * 4]
+    )
+    obs = np.nan_to_num(
+        reproject_bilinear(sky, w_h, w_o, (size // 4, size // 4))
+    )
+    write_fits(reg_o / "reg_o.fits", obs, w_o.to_header())
+
+    climain.main([
+        "prep", "--data-root", str(tmp_path), "--target", "SYN",
+        "--steps", "3,4", "--fused",
+    ])
+    pairs = sorted((t / "7_dataset_ready_LOG").glob("pair_*/observatory.tiff"))
+    assert pairs, "fused CLI prep wrote no TIFF pairs"
+    assert (t / "6_patches_final" / "pair_000000" / "hubble.fits").exists()
