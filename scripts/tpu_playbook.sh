@@ -39,9 +39,14 @@ run learn_hat 7200 python scripts/train_learns.py --arch hat --epochs 12 \
   --outputs-root /tmp/learn_out_full --artifacts artifacts/learn_r03/hat
 
 # 2. config #4 with the round-3 OCAB-backward kernel (fused-HAB path) vs
-#    the shipped default (flax backbone + fused trunk)
+#    the shipped default (flax backbone + fused trunk); the fused-hab runs
+#    A/B head-packed attention (kernels/packed_heads.py, auto at embed 90)
+#    against the per-head-loop fallback (SRDEF_PACKED=0)
 run bench4_default 3600 python bench.py --arch hat --mode train --iters 10
 run bench4_fusedhab 3600 python bench.py --arch hat --mode train --fused-hab --iters 10
+run bench4_fusedhab_nopack 3600 env SRDEF_PACKED=0 python bench.py --arch hat --mode train --fused-hab --iters 10
+run bench2_packed 1800 python bench.py --arch hat --mode infer
+run bench2_nopack 1800 env SRDEF_PACKED=0 python bench.py --arch hat --mode infer
 
 # 3. config #5 fused prep on TPU (single-dispatch) + staged comparison
 run bench_prep_fused 1800 python bench.py --mode prep

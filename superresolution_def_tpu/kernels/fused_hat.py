@@ -32,6 +32,7 @@ from ..ops.resize import resize_nearest
 from ..kernels import window_attention
 from ..models.hat import _overlap_windows
 from .swin_block import fused_hab_block, _gelu
+from .packed_heads import use_packed
 
 
 def _conv3(p, x):
@@ -290,7 +291,7 @@ def make_fused_hat_train(
             p["mlp"]["fc1"]["linear"]["bias"],
             p["mlp"]["fc2"]["linear"]["kernel"].astype(dtype),
             p["mlp"]["fc2"]["linear"]["bias"],
-            heads, d**-0.5, 0.01, block_windows,
+            heads, d**-0.5, 0.01, block_windows, use_packed(c),
         )
         y = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
         if shift:

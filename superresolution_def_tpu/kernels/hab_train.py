@@ -37,10 +37,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .swin_block import _gelu, _gelu_grad, _ln_f32
+from .packed_heads import packed_mha, packed_mha_grads, use_packed
 
 
 def _make_hab_fwd_h_kernel(num_heads: int, head_dim: int, scale: float,
-                           conv_scale: float):
+                           conv_scale: float, packed: bool = False):
     c = num_heads * head_dim
 
     def kernel(
@@ -61,25 +62,31 @@ def _make_hab_fwd_h_kernel(num_heads: int, head_dim: int, scale: float,
             )
             + bqkv_ref[:].astype(jnp.float32)
         ).astype(dt).reshape(blk, n, 3 * c)
-        head_outs = []
-        for i in range(num_heads):
-            q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
-            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
-            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
-            a = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        if packed:
+            attn_out = packed_mha(
+                qkv[:, :, :c], qkv[:, :, c : 2 * c], qkv[:, :, 2 * c :],
+                bias_ref[:], mask_ref[:], num_heads=num_heads, scale=scale,
             )
-            a = a + bias_ref[i].astype(jnp.float32) + mask_ref[:].astype(jnp.float32)
-            a = a - jnp.max(a, axis=-1, keepdims=True)
-            a = jnp.exp(a)
-            a = a / jnp.sum(a, axis=-1, keepdims=True)
-            head_outs.append(
-                jax.lax.dot_general(
-                    a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+        else:
+            head_outs = []
+            for i in range(num_heads):
+                q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
+                k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+                v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+                a = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
                 )
-            )
-        attn_out = jnp.concatenate(head_outs, axis=-1)
+                a = a + bias_ref[i].astype(jnp.float32) + mask_ref[:].astype(jnp.float32)
+                a = a - jnp.max(a, axis=-1, keepdims=True)
+                a = jnp.exp(a)
+                a = a / jnp.sum(a, axis=-1, keepdims=True)
+                head_outs.append(
+                    jax.lax.dot_general(
+                        a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            attn_out = jnp.concatenate(head_outs, axis=-1)
         proj = (
             jax.lax.dot_general(
                 attn_out.astype(dt).reshape(blk * n, c), wproj_ref[:],
@@ -177,7 +184,8 @@ def _hab_bwd_mlp_kernel(
     dh_ref[:] = (dh.reshape(blk, n, c) + dout_raw).astype(dh_ref.dtype)
 
 
-def _make_hab_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float):
+def _make_hab_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float,
+                              packed: bool = False):
     """Masked attention + LN1 backward with the dp1 branch scale.
 
     h = x + dp1*proj(attn(LN1 x, mask)) + conv_scale*conv_x; the conv
@@ -228,6 +236,37 @@ def _make_hab_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float):
             preferred_element_type=jnp.float32,
         ).reshape(blk, n, c)
         dbproj_ref[...] += jnp.sum(dh, axis=0)
+
+        if packed:
+            attn_out, dq, dk, dv, dbias = packed_mha_grads(
+                qkv[:, :, :c], qkv[:, :, c : 2 * c], qkv[:, :, 2 * c :],
+                dattn, bias_ref[:], mask_ref[:], num_heads=num_heads, scale=scale,
+            )
+            dbias_ref[...] += dbias
+            dwproj_ref[...] += jax.lax.dot_general(
+                attn_out.astype(dt).reshape(blk * n, c), dh.astype(dt),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            dqkv2d = jnp.concatenate([dq, dk, dv], axis=-1).reshape(blk * n, 3 * c)
+            dbqkv_ref[...] += jnp.sum(dqkv2d, axis=0)
+            dwqkv_ref[...] += jax.lax.dot_general(
+                x2d, dqkv2d.astype(dt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dxn = jax.lax.dot_general(
+                dqkv2d.astype(dt), wqkv_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(blk, n, c)
+            dln1s_ref[...] += jnp.sum((dxn * xhat1).reshape(blk * n, c), axis=0)
+            dln1b_ref[...] += jnp.sum(dxn.reshape(blk * n, c), axis=0)
+            dxh1 = dxn * ln1s_ref[:].astype(jnp.float32)
+            dx_ln = rstd1 * (
+                dxh1
+                - jnp.mean(dxh1, axis=-1, keepdims=True)
+                - xhat1 * jnp.mean(dxh1 * xhat1, axis=-1, keepdims=True)
+            )
+            dx_ref[:] = (dx_ln + dh_raw).astype(dx_ref.dtype)
+            return
 
         attn_parts = []
         dq_parts, dk_parts, dv_parts = [], [], []
@@ -319,17 +358,18 @@ def _pick_blk(bw, target):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "conv_scale", "block_windows")
+    jax.jit,
+    static_argnames=("num_heads", "scale", "conv_scale", "block_windows", "packed"),
 )
 def _hab_fwd_h(
     x_w, convx_w, mask, dp1, dp2,
     ln1s, ln1b, wqkv, bqkv, bias, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-    *, num_heads, scale, conv_scale, block_windows=16,
+    *, num_heads, scale, conv_scale, block_windows=16, packed=False,
 ):
     bw, n, c = x_w.shape
     hidden = w1.shape[1]
     blk = _pick_blk(bw, block_windows)
-    kern = _make_hab_fwd_h_kernel(num_heads, c // num_heads, scale, conv_scale)
+    kern = _make_hab_fwd_h_kernel(num_heads, c // num_heads, scale, conv_scale, packed)
     return pl.pallas_call(
         kern,
         grid=(bw // blk,),
@@ -379,14 +419,16 @@ def _hab_bwd_mlp(h, dout, dp2, ln2s, ln2b, w1, b1, w2, b2, *, block_windows=16):
     )(h, dout, dp2, ln2s, ln2b, w1, b1, w2, b2)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "block_windows"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_windows", "packed")
+)
 def _hab_bwd_attn(
     x_w, dh, mask, dp1, ln1s, ln1b, wqkv, bqkv, bias, wproj,
-    *, num_heads, scale, block_windows=8,
+    *, num_heads, scale, block_windows=8, packed=False,
 ):
     bw, n, c = x_w.shape
     blk = _pick_blk(bw, block_windows)
-    kern = _make_hab_bwd_attn_kernel(num_heads, c // num_heads, scale)
+    kern = _make_hab_bwd_attn_kernel(num_heads, c // num_heads, scale, packed)
     f32 = jnp.float32
     return pl.pallas_call(
         kern,
@@ -414,18 +456,18 @@ def _hab_bwd_attn(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(18, 19, 20, 21)
+    jax.custom_vjp, nondiff_argnums=(18, 19, 20, 21, 22)
 )
 def hab_core_ad(
     x_w, convx_w, mask, dp1, dp2,
     ln1s, ln1b, wqkv, bqkv, bias, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-    num_heads, scale, conv_scale, block_windows,
+    num_heads, scale, conv_scale, block_windows, packed=False,
 ):
     out, _ = _hab_fwd_h(
         x_w, convx_w, mask, dp1, dp2, ln1s, ln1b, wqkv, bqkv, bias,
         wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
         num_heads=num_heads, scale=scale, conv_scale=conv_scale,
-        block_windows=block_windows,
+        block_windows=block_windows, packed=packed,
     )
     return out
 
@@ -433,20 +475,20 @@ def hab_core_ad(
 def _hab_ad_fwd(
     x_w, convx_w, mask, dp1, dp2,
     ln1s, ln1b, wqkv, bqkv, bias, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-    num_heads, scale, conv_scale, block_windows,
+    num_heads, scale, conv_scale, block_windows, packed=False,
 ):
     out, h = _hab_fwd_h(
         x_w, convx_w, mask, dp1, dp2, ln1s, ln1b, wqkv, bqkv, bias,
         wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
         num_heads=num_heads, scale=scale, conv_scale=conv_scale,
-        block_windows=block_windows,
+        block_windows=block_windows, packed=packed,
     )
     res = (x_w, convx_w, h, mask, dp1, dp2, ln1s, ln1b, wqkv, bqkv, bias,
            wproj, bproj, ln2s, ln2b, w1, b1, w2, b2)
     return out, res
 
 
-def _hab_ad_bwd(num_heads, scale, conv_scale, block_windows, res, dout):
+def _hab_ad_bwd(num_heads, scale, conv_scale, block_windows, packed, res, dout):
     (x_w, convx_w, h, mask, dp1, dp2, ln1s, ln1b, wqkv, bqkv, bias,
      wproj, bproj, ln2s, ln2b, w1, b1, w2, b2) = res
     dh, dln2s, dln2b, dw1, db1, dw2, db2 = _hab_bwd_mlp(
@@ -456,7 +498,7 @@ def _hab_ad_bwd(num_heads, scale, conv_scale, block_windows, res, dout):
     dx, dln1s, dln1b, dwqkv, dbqkv, dbias, dwproj, dbproj = _hab_bwd_attn(
         x_w, dh, mask, dp1, ln1s, ln1b, wqkv, bqkv, bias, wproj,
         num_heads=num_heads, scale=scale,
-        block_windows=min(block_windows, 8),
+        block_windows=min(block_windows, 8), packed=packed,
     )
     dconvx = (conv_scale * dh.astype(jnp.float32)).astype(convx_w.dtype)
     cast = lambda gr, ref: gr.astype(ref.dtype)  # noqa: E731

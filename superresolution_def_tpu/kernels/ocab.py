@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .swin_block import _gelu, _ln_f32
 
 
-def _make_ocab_kernel(num_heads: int, head_dim: int, scale: float):
+def _make_ocab_kernel(num_heads: int, head_dim: int, scale: float,
+                      packed: bool = False):
     c = num_heads * head_dim
 
     def kernel(
@@ -48,26 +49,34 @@ def _make_ocab_kernel(num_heads: int, head_dim: int, scale: float):
         k_all = k_ref[:]
         v_all = v_ref[:]
 
-        head_outs = []
-        for i in range(num_heads):
-            sl = slice(i * head_dim, (i + 1) * head_dim)
-            q = q_all[:, :, sl] * jnp.asarray(scale, dt)
-            k = k_all[:, :, sl]
-            v = v_all[:, :, sl]
-            a = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-            )  # (blk, nq, nk)
-            a = a + bias_ref[i].astype(jnp.float32)
-            a = a - jnp.max(a, axis=-1, keepdims=True)
-            a = jnp.exp(a)
-            a = a / jnp.sum(a, axis=-1, keepdims=True)
-            head_outs.append(
-                jax.lax.dot_general(
-                    a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
+        if packed:
+            from .packed_heads import packed_mha
+
+            attn_out = packed_mha(
+                q_all, k_all, v_all, bias_ref[:], None,
+                num_heads=num_heads, scale=scale,
             )
-        attn_out = jnp.concatenate(head_outs, axis=-1)
+        else:
+            head_outs = []
+            for i in range(num_heads):
+                sl = slice(i * head_dim, (i + 1) * head_dim)
+                q = q_all[:, :, sl] * jnp.asarray(scale, dt)
+                k = k_all[:, :, sl]
+                v = v_all[:, :, sl]
+                a = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                )  # (blk, nq, nk)
+                a = a + bias_ref[i].astype(jnp.float32)
+                a = a - jnp.max(a, axis=-1, keepdims=True)
+                a = jnp.exp(a)
+                a = a / jnp.sum(a, axis=-1, keepdims=True)
+                head_outs.append(
+                    jax.lax.dot_general(
+                        a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            attn_out = jnp.concatenate(head_outs, axis=-1)
 
         proj = (
             jax.lax.dot_general(
@@ -100,7 +109,7 @@ def _make_ocab_kernel(num_heads: int, head_dim: int, scale: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "block_windows")
+    jax.jit, static_argnames=("num_heads", "scale", "block_windows", "packed")
 )
 def fused_ocab_block(
     x_windows,   # (BW, NQ, C)
@@ -113,6 +122,7 @@ def fused_ocab_block(
     num_heads: int,
     scale: float,
     block_windows: int = 16,
+    packed: bool | None = None,
 ):
     bw, nq, c = x_windows.shape
     nk = k_windows.shape[1]
@@ -121,6 +131,10 @@ def fused_ocab_block(
     blk = min(block_windows, bw)
     while bw % blk:
         blk -= 1
+    if packed is None:
+        from .packed_heads import use_packed
+
+        packed = use_packed(c)
 
     def tile(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -129,7 +143,7 @@ def fused_ocab_block(
         return pl.BlockSpec((blk, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _make_ocab_kernel(num_heads, head_dim, scale),
+        _make_ocab_kernel(num_heads, head_dim, scale, packed),
         grid=(bw // blk,),
         out_shape=jax.ShapeDtypeStruct((bw, nq, c), x_windows.dtype),
         in_specs=[

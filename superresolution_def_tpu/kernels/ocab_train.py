@@ -33,9 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .swin_block import _gelu, _ln_f32
 from .hab_train import _hab_bwd_mlp, _tile, _pick_blk, _wspec
+from .packed_heads import packed_mha, packed_mha_grads, use_packed
 
 
-def _make_ocab_fwd_h_kernel(num_heads: int, head_dim: int, scale: float):
+def _make_ocab_fwd_h_kernel(num_heads: int, head_dim: int, scale: float,
+                            packed: bool = False):
     c = num_heads * head_dim
 
     def kernel(
@@ -54,26 +56,32 @@ def _make_ocab_fwd_h_kernel(num_heads: int, head_dim: int, scale: float):
         dt = x.dtype
         q_all, k_all, v_all = q_ref[:], k_ref[:], v_ref[:]
 
-        head_outs = []
-        for i in range(num_heads):
-            sl = slice(i * head_dim, (i + 1) * head_dim)
-            q = q_all[:, :, sl] * jnp.asarray(scale, dt)
-            k = k_all[:, :, sl]
-            v = v_all[:, :, sl]
-            a = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        if packed:
+            attn_out = packed_mha(
+                q_all, k_all, v_all, bias_ref[:], None,
+                num_heads=num_heads, scale=scale,
             )
-            a = a + bias_ref[i].astype(jnp.float32)
-            a = a - jnp.max(a, axis=-1, keepdims=True)
-            a = jnp.exp(a)
-            a = a / jnp.sum(a, axis=-1, keepdims=True)
-            head_outs.append(
-                jax.lax.dot_general(
-                    a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+        else:
+            head_outs = []
+            for i in range(num_heads):
+                sl = slice(i * head_dim, (i + 1) * head_dim)
+                q = q_all[:, :, sl] * jnp.asarray(scale, dt)
+                k = k_all[:, :, sl]
+                v = v_all[:, :, sl]
+                a = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
                 )
-            )
-        attn_out = jnp.concatenate(head_outs, axis=-1)
+                a = a + bias_ref[i].astype(jnp.float32)
+                a = a - jnp.max(a, axis=-1, keepdims=True)
+                a = jnp.exp(a)
+                a = a / jnp.sum(a, axis=-1, keepdims=True)
+                head_outs.append(
+                    jax.lax.dot_general(
+                        a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            attn_out = jnp.concatenate(head_outs, axis=-1)
 
         proj = (
             jax.lax.dot_general(
@@ -106,17 +114,19 @@ def _make_ocab_fwd_h_kernel(num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "block_windows"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_windows", "packed")
+)
 def _ocab_fwd_h(
     x_w, q_w, k_w, v_w, bias,
     wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-    *, num_heads, scale, block_windows=16,
+    *, num_heads, scale, block_windows=16, packed=False,
 ):
     bw, nq, c = x_w.shape
     nk = k_w.shape[1]
     hidden = w1.shape[1]
     blk = _pick_blk(bw, block_windows)
-    kern = _make_ocab_fwd_h_kernel(num_heads, c // num_heads, scale)
+    kern = _make_ocab_fwd_h_kernel(num_heads, c // num_heads, scale, packed)
     return pl.pallas_call(
         kern,
         grid=(bw // blk,),
@@ -137,7 +147,8 @@ def _ocab_fwd_h(
     )(x_w, q_w, k_w, v_w, bias, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2)
 
 
-def _make_ocab_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float):
+def _make_ocab_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float,
+                               packed: bool = False):
     """Cross-attention + proj backward from saved q/k/v windows.
 
     h = x + proj(attn) ⇒ dx = dh (handled by the caller); this kernel
@@ -167,6 +178,21 @@ def _make_ocab_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float):
             preferred_element_type=jnp.float32,
         ).reshape(blk, nq, c)
         dbproj_ref[...] += jnp.sum(dh, axis=0)
+
+        if packed:
+            attn_out, dq, dk, dv, dbias = packed_mha_grads(
+                q_all, k_all, v_all, dattn, bias_ref[:], None,
+                num_heads=num_heads, scale=scale,
+            )
+            dbias_ref[...] += dbias
+            dwproj_ref[...] += jax.lax.dot_general(
+                attn_out.astype(dt).reshape(blk * nq, c), dh.astype(dt),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            dq_ref[:] = dq.astype(dq_ref.dtype)
+            dk_ref[:] = dk.astype(dk_ref.dtype)
+            dv_ref[:] = dv.astype(dv_ref.dtype)
+            return
 
         attn_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
         for i in range(num_heads):
@@ -224,14 +250,17 @@ def _make_ocab_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "block_windows"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_windows", "packed")
+)
 def _ocab_bwd_attn(
     q_w, k_w, v_w, dh, bias, wproj, *, num_heads, scale, block_windows=8,
+    packed=False,
 ):
     bw, nq, c = q_w.shape
     nk = k_w.shape[1]
     blk = _pick_blk(bw, block_windows)
-    kern = _make_ocab_bwd_attn_kernel(num_heads, c // num_heads, scale)
+    kern = _make_ocab_bwd_attn_kernel(num_heads, c // num_heads, scale, packed)
     f32 = jnp.float32
     return pl.pallas_call(
         kern,
@@ -256,15 +285,16 @@ def _ocab_bwd_attn(
     )(q_w, k_w, v_w, dh, bias, wproj)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
 def ocab_tail_ad(
     x_w, q_w, k_w, v_w, bias,
     wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-    num_heads, scale, block_windows,
+    num_heads, scale, block_windows, packed=False,
 ):
     out, _ = _ocab_fwd_h(
         x_w, q_w, k_w, v_w, bias, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
         num_heads=num_heads, scale=scale, block_windows=block_windows,
+        packed=packed,
     )
     return out
 
@@ -272,17 +302,18 @@ def ocab_tail_ad(
 def _ocab_ad_fwd(
     x_w, q_w, k_w, v_w, bias,
     wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
-    num_heads, scale, block_windows,
+    num_heads, scale, block_windows, packed=False,
 ):
     out, h = _ocab_fwd_h(
         x_w, q_w, k_w, v_w, bias, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2,
         num_heads=num_heads, scale=scale, block_windows=block_windows,
+        packed=packed,
     )
     res = (q_w, k_w, v_w, h, bias, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2)
     return out, res
 
 
-def _ocab_ad_bwd(num_heads, scale, block_windows, res, dout):
+def _ocab_ad_bwd(num_heads, scale, block_windows, packed, res, dout):
     q_w, k_w, v_w, h, bias, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2 = res
     bw, nq, c = q_w.shape
     ones_dp = jnp.ones((bw, 1, c), jnp.float32)  # OCAB branches have no drop-path
@@ -293,6 +324,7 @@ def _ocab_ad_bwd(num_heads, scale, block_windows, res, dout):
     dq, dk, dv, dbias, dwproj, dbproj = _ocab_bwd_attn(
         q_w, k_w, v_w, dh, bias, wproj,
         num_heads=num_heads, scale=scale, block_windows=min(block_windows, 8),
+        packed=packed,
     )
     cast = lambda gr, ref: gr.astype(ref.dtype)  # noqa: E731
     dx = dh  # h = x + proj(attn): the shortcut passes dh through unchanged
@@ -344,6 +376,6 @@ def ocab_train(p, x, ws, overlap_ratio, heads, block_windows=16):
         p["mlp"]["fc1"]["linear"]["bias"],
         p["mlp"]["fc2"]["linear"]["kernel"].astype(x.dtype),
         p["mlp"]["fc2"]["linear"]["bias"],
-        heads, d**-0.5, block_windows,
+        heads, d**-0.5, block_windows, use_packed(c),
     )
     return window_reverse(out_w.reshape(-1, ws, ws, c), ws, h, w)

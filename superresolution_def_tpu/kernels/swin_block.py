@@ -170,11 +170,15 @@ def _make_kernel(num_heads: int, head_dim: int, scale: float):
     return kernel
 
 
-def _make_hab_kernel(num_heads: int, head_dim: int, scale: float, conv_scale: float):
+def _make_hab_kernel(num_heads: int, head_dim: int, scale: float, conv_scale: float,
+                     packed: bool = False):
     """HAB forward (hat_arch.py:199-309) as one VMEM kernel: LN1 -> masked
     W-MSA (+rel-pos bias) -> proj -> + x + conv_scale*conv_x -> LN2 -> MLP.
     The CAB conv branch (spatial 3x3s) is computed by XLA outside and fed
-    in window layout; the shift mask comes pre-tiled per window."""
+    in window layout; the shift mask comes pre-tiled per window. With
+    ``packed`` the per-head loop becomes block-diagonal head-packed dots
+    (kernels/packed_heads.py) — bit-identical, half the MXU passes at
+    HAT's head_dim 15."""
     c = num_heads * head_dim
 
     def kernel(
@@ -196,26 +200,34 @@ def _make_hab_kernel(num_heads: int, head_dim: int, scale: float, conv_scale: fl
             )
             + bqkv_ref[:].astype(jnp.float32)
         ).astype(dt).reshape(blk, n, 3 * c)
-        head_outs = []
-        for i in range(num_heads):
-            q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
-            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
-            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
-            a = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        if packed:
+            from .packed_heads import packed_mha
+
+            attn_out = packed_mha(
+                qkv[:, :, :c], qkv[:, :, c : 2 * c], qkv[:, :, 2 * c :],
+                bias_ref[:], mask_ref[:], num_heads=num_heads, scale=scale,
             )
-            a = a + bias_ref[i].astype(jnp.float32)
-            a = a + mask_ref[:].astype(jnp.float32)
-            a = a - jnp.max(a, axis=-1, keepdims=True)
-            a = jnp.exp(a)
-            a = a / jnp.sum(a, axis=-1, keepdims=True)
-            head_outs.append(
-                jax.lax.dot_general(
-                    a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+        else:
+            head_outs = []
+            for i in range(num_heads):
+                q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
+                k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+                v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+                a = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
                 )
-            )
-        attn_out = jnp.concatenate(head_outs, axis=-1)
+                a = a + bias_ref[i].astype(jnp.float32)
+                a = a + mask_ref[:].astype(jnp.float32)
+                a = a - jnp.max(a, axis=-1, keepdims=True)
+                a = jnp.exp(a)
+                a = a / jnp.sum(a, axis=-1, keepdims=True)
+                head_outs.append(
+                    jax.lax.dot_general(
+                        a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            attn_out = jnp.concatenate(head_outs, axis=-1)
         proj = (
             jax.lax.dot_general(
                 attn_out.astype(dt).reshape(blk * n, c), wproj_ref[:],
@@ -258,16 +270,22 @@ def fused_hab_block(
     scale: float,
     conv_scale: float = 0.01,
     block_windows: int = 16,
+    packed: bool | None = None,
 ):
     """Fused HAB (inference). mask_tiled: (Bw, N, N) additive shift mask
-    (zeros for unshifted blocks)."""
+    (zeros for unshifted blocks). packed=None auto-selects head packing
+    for one-lane-tile embeds (packed_heads.use_packed)."""
     bw, n, c = x_windows.shape
     head_dim = c // num_heads
     blk = min(block_windows, bw)
     while bw % blk:
         blk -= 1
     hidden = w1.shape[1]
-    kernel = _make_hab_kernel(num_heads, head_dim, scale, conv_scale)
+    if packed is None:
+        from .packed_heads import use_packed
+
+        packed = use_packed(c)
+    kernel = _make_hab_kernel(num_heads, head_dim, scale, conv_scale, packed)
 
     def tile(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
