@@ -39,22 +39,27 @@ run learn_hat 7200 python scripts/train_learns.py --arch hat --epochs 12 \
   --outputs-root /tmp/learn_out_full --artifacts artifacts/learn_r03/hat
 
 # 2. config #4 with the round-3 OCAB-backward kernel (fused-HAB path) vs
-#    the shipped default (flax backbone + fused trunk); the fused-hab runs
-#    A/B head-packed attention (kernels/packed_heads.py, auto at embed 90)
-#    against the per-head-loop fallback (SRDEF_PACKED=0)
+#    the shipped default (flax backbone + fused trunk); head-packed
+#    attention (kernels/packed_heads.py) is OPT-IN via SRDEF_PACKED=auto —
+#    the default runs the long-validated per-head loop. If a _packed item
+#    wins AND compiles, flip the default in packed_heads._env_mode.
 run bench4_default 3600 python bench.py --arch hat --mode train --iters 10
 run bench4_fusedhab 3600 python bench.py --arch hat --mode train --fused-hab --iters 10
-run bench4_fusedhab_nopack 3600 env SRDEF_PACKED=0 python bench.py --arch hat --mode train --fused-hab --iters 10
-run bench2_packed 1800 python bench.py --arch hat --mode infer
-run bench2_nopack 1800 env SRDEF_PACKED=0 python bench.py --arch hat --mode infer
+run bench4_fusedhab_packed 3600 env SRDEF_PACKED=auto python bench.py --arch hat --mode train --fused-hab --iters 10
+run bench2 1800 python bench.py --arch hat --mode infer
+run bench2_packed 1800 env SRDEF_PACKED=auto python bench.py --arch hat --mode infer
 
 # 3. config #5 fused prep on TPU (single-dispatch) + staged comparison
 run bench_prep_fused 1800 python bench.py --mode prep
 run bench_prep_staged 1800 python bench.py --mode prep --impl xla
 
-# 4. headline re-confirm
+# 4. headline re-confirm + the swin packed-pairs A/B (SRDEF_PACKED=auto
+#    group-packs head pairs into M=128/K=60 dots, packed_heads.best_group;
+#    the default is the per-head loop)
 run bench1 1800 python bench.py --arch swin --mode infer
+run bench1_packed 1800 env SRDEF_PACKED=auto python bench.py --arch swin --mode infer
 run bench3 2400 python bench.py --arch swin --mode train --iters 10
+run bench3_packed 2400 env SRDEF_PACKED=auto python bench.py --arch swin --mode train --iters 10
 
 # 5. where the hat step time goes now (OCAB backward attribution)
 run hat_train_breakdown 3600 python scripts/perf_breakdown.py --what hat-train

@@ -36,6 +36,11 @@ in fp32 and bf16.
 These helpers are plain traced jnp code meant to be CALLED INSIDE a
 Pallas kernel body (hab_train.py, swin_block.py, ocab.py, ocab_train.py)
 — they are not pallas_calls themselves.
+
+Packing is OPT-IN (`SRDEF_PACKED=auto` or a forced group size): the
+packed operands enlarge the kernels' VMEM live set, and interpret-mode
+equivalence cannot validate scoped-vmem budgets on the real chip. The
+default stays the per-head loop until the playbook's on-chip A/B lands.
 """
 
 from __future__ import annotations
@@ -72,13 +77,108 @@ def unstack_heads(y, hm):
     return jnp.sum(y.reshape(blk, nh, n, c) * hm[None], axis=1)
 
 
-def packed_mha(q_all, k_all, v_all, bias, mask, *, num_heads: int, scale: float):
-    """All-heads window attention in two batched dots.
+def best_group(num_heads: int, head_dim: int, nq: int, nk: int) -> int:
+    """Head-group size minimizing MXU tile-passes for one window's QK+PV.
+
+    A dot (M,K)x(K,N) costs ceil(M/128)*ceil(K/128)*ceil(N/128) 128-deep
+    systolic passes. Packing g heads stacks queries to M=g*nq and keeps
+    the contraction at K=g*hd, so per stage the whole window costs
+    (H/g)*ceil(g*nq/128)*ceil(g*hd/128)*ceil(nk/128) passes (QK and PV
+    are symmetric in K/N). Examples at nq=64, nk=64:
+      hd=15, H=6 (HAT embed 90):  g=1 -> 6, g=2 -> 3, g=6 -> 3  => g=6
+      hd=30, H=6 (swin embed 180): g=1 -> 6, g=2 -> 3, g=6 -> 6 => g=2
+    Ties break toward the LARGER group (fewer dot dispatches, better MXU
+    pipelining). Pure shape model — env gating lives in `_env_mode` /
+    `packed_group`.
+    """
+
+    def passes(g):
+        t = lambda m: -(-m // 128)  # noqa: E731
+        return (num_heads // g) * t(g * nq) * t(g * head_dim) * t(nk)
+
+    return max(
+        (g for g in range(1, num_heads + 1) if num_heads % g == 0),
+        key=lambda g: (-passes(g), g),
+    )
+
+
+def _env_mode() -> str | None:
+    """SRDEF_PACKED mode: None = packing disabled (the DEFAULT — the
+    per-head loop is the only form that has compiled on real hardware;
+    the packed layout's larger VMEM live set is unvalidated on-chip, and
+    interpret mode cannot check scoped-vmem budgets — see the fast-GELU
+    tile-cap episode in PERF.md), 'auto' = tile-pass-model grouping, or a
+    digit string g>=2 forcing the group size."""
+    v = os.environ.get("SRDEF_PACKED", "").lower()
+    if v in ("", "0", "off", "false"):
+        return None
+    if v.isdigit() and int(v) >= 2:
+        return v
+    return "auto"
+
+
+def env_group(num_heads: int) -> int | None:
+    """Forced group size from SRDEF_PACKED=<g>, if set, valid and dividing
+    num_heads; else None (use the shape model)."""
+    mode = _env_mode()
+    if mode not in (None, "auto"):
+        g = int(mode)
+        if num_heads % g == 0:
+            return g
+    return None
+
+
+def packed_group(num_heads: int, head_dim: int, nq: int, nk: int) -> int:
+    """Env-aware group size: 1 (= per-head loop) unless SRDEF_PACKED opts
+    in, then the forced group or the tile-pass-model best."""
+    mode = _env_mode()
+    if mode is None:
+        return 1
+    forced = env_group(num_heads)
+    if forced is not None:
+        return forced
+    return best_group(num_heads, head_dim, nq, nk)
+
+
+def packing_helps(num_heads: int, head_dim: int, nq: int, nk: int) -> bool:
+    """True when SRDEF_PACKED opts in AND some head grouping strictly
+    beats the per-head loop on MXU tile-passes."""
+    return packed_group(num_heads, head_dim, nq, nk) > 1
+
+
+def packed_mha(q_all, k_all, v_all, bias, mask, *, num_heads: int, scale: float,
+               group: int | None = None):
+    """Grouped-head window attention in batched block-diagonal dots.
 
     q_all/k_all/v_all: (blk, nq|nk, c) in the kernel io dtype (q unscaled).
     bias: (H, nq, nk) f32 or None. mask: (blk, nq, nk) f32 or None.
-    Returns attn_out (blk, nq, c) f32 — bit-identical to the per-head loop.
+    group: heads per packed dot (None = best_group; num_heads = one dot).
+    Returns attn_out (blk, nq, c) f32 — term-for-term identical to the
+    per-head loop.
     """
+    blk, nq, c = q_all.shape
+    nk = k_all.shape[1]
+    hd = c // num_heads
+    if group is None:
+        group = env_group(num_heads) or best_group(num_heads, hd, nq, nk)
+    g = group
+    if g == num_heads:
+        return _packed_mha_slab(q_all, k_all, v_all, bias, mask,
+                                num_heads=num_heads, scale=scale)
+    cg = g * hd
+    outs = []
+    for j in range(num_heads // g):
+        sl = slice(j * cg, (j + 1) * cg)
+        outs.append(_packed_mha_slab(
+            q_all[:, :, sl], k_all[:, :, sl], v_all[:, :, sl],
+            None if bias is None else bias[j * g : (j + 1) * g], mask,
+            num_heads=g, scale=scale,
+        ))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _packed_mha_slab(q_all, k_all, v_all, bias, mask, *, num_heads: int,
+                     scale: float):
     blk, nq, c = q_all.shape
     nk = k_all.shape[1]
     dt = q_all.dtype
@@ -110,16 +210,45 @@ def _add_bias_mask(a, bias, mask, num_heads, nq, nk):
 
 
 def packed_mha_grads(q_all, k_all, v_all, dattn, bias, mask, *, num_heads: int,
-                     scale: float):
-    """Recompute the packed softmax and return attention gradients.
+                     scale: float, group: int | None = None):
+    """Recompute the grouped-packed softmax and return attention gradients.
 
     dattn: (blk, nq, c) f32 cotangent of the concatenated attention output.
+    group: heads per packed dot (None = best_group; num_heads = one dot).
     Returns (attn_out, dq, dk, dv, dbias):
       attn_out (blk, nq, c) f32 — the recomputed forward (for dWproj),
       dq (blk, nq, c) f32, dk/dv (blk, nk, c) f32 (concatenated heads),
       dbias (H, nq, nk) f32 summed over the tile's windows.
-    Bit-identical to the per-head backward loop at every cast point.
+    Term-for-term identical to the per-head backward loop.
     """
+    blk, nq, c = q_all.shape
+    nk = k_all.shape[1]
+    hd = c // num_heads
+    if group is None:
+        group = env_group(num_heads) or best_group(num_heads, hd, nq, nk)
+    g = group
+    if g == num_heads:
+        return _packed_mha_grads_slab(q_all, k_all, v_all, dattn, bias, mask,
+                                      num_heads=num_heads, scale=scale)
+    cg = g * hd
+    parts = []
+    for j in range(num_heads // g):
+        sl = slice(j * cg, (j + 1) * cg)
+        parts.append(_packed_mha_grads_slab(
+            q_all[:, :, sl], k_all[:, :, sl], v_all[:, :, sl],
+            dattn[:, :, sl],
+            None if bias is None else bias[j * g : (j + 1) * g], mask,
+            num_heads=g, scale=scale,
+        ))
+    attn_out, dq, dk, dv, dbias = (
+        jnp.concatenate([p[i] for p in parts], axis=-1 if i < 4 else 0)
+        for i in range(5)
+    )
+    return attn_out, dq, dk, dv, dbias
+
+
+def _packed_mha_grads_slab(q_all, k_all, v_all, dattn, bias, mask, *,
+                           num_heads: int, scale: float):
     blk, nq, c = q_all.shape
     nk = k_all.shape[1]
     dt = q_all.dtype
@@ -176,13 +305,14 @@ def packed_mha_grads(q_all, k_all, v_all, dattn, bias, mask, *, num_heads: int,
 
 
 def use_packed(c: int) -> bool:
-    """Default gate: pack only when the channel width fits one lane tile,
-    where the packing halves MXU passes (e.g. HAT embed 90). Wider embeds
-    (swin 180) tie on passes and only add VPU masking work.
+    """Opt-in gate for the HAT kernels: pack only when SRDEF_PACKED opts
+    in AND the channel width fits one lane tile, where the packing halves
+    MXU passes (e.g. HAT embed 90). Wider embeds go through
+    `packing_helps` with real nq/nk instead.
 
-    SRDEF_PACKED=0 in the environment disables packing everywhere — the
-    kill switch in case a Mosaic version rejects the packed layout (the
-    per-head loop is the long-validated fallback)."""
-    if os.environ.get("SRDEF_PACKED", "").lower() in ("0", "off", "false"):
-        return False
-    return c <= 128
+    Packing is OFF by default: the per-head loop is the long-validated
+    form, and the packed layout's larger VMEM live set has never been
+    compiled on real hardware (interpret mode cannot catch scoped-vmem
+    overflows). Flip the default only after the playbook's on-chip A/B
+    (bench*_packed vs default) shows it compiles and wins."""
+    return _env_mode() is not None and c <= 128

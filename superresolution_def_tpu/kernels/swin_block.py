@@ -91,7 +91,14 @@ def _ln_f32(x, scale, bias, eps=1e-5):
     )
 
 
-def _make_kernel(num_heads: int, head_dim: int, scale: float):
+def _make_kernel(num_heads: int, head_dim: int, scale: float,
+                 packed: bool = False):
+    """Fused swin block (inference): LN1 -> W-MSA (+rel-pos bias, NO shift
+    mask — architecture_swin.py:138 deviation) -> proj -> +x -> LN2 -> MLP.
+    With ``packed`` the per-head attention dots become grouped block-
+    diagonal dots (kernels/packed_heads.py): at the flagship head_dim 30
+    the best grouping is pairs of heads (M=128, K=60), halving the
+    attention tile-passes vs the per-head loop."""
     c = num_heads * head_dim
 
     def kernel(
@@ -120,24 +127,32 @@ def _make_kernel(num_heads: int, head_dim: int, scale: float):
         ).astype(dt)
         qkv = qkv.reshape(blk, n, 3 * c)
 
-        head_outs = []
-        for i in range(num_heads):
-            q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
-            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
-            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
-            a = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        if packed:
+            from .packed_heads import packed_mha
+
+            attn_out = packed_mha(
+                qkv[:, :, :c], qkv[:, :, c : 2 * c], qkv[:, :, 2 * c :],
+                bias_ref[:], None, num_heads=num_heads, scale=scale,
             )
-            a = a + bias_ref[i].astype(jnp.float32)
-            a = a - jnp.max(a, axis=-1, keepdims=True)
-            a = jnp.exp(a)
-            a = a / jnp.sum(a, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            head_outs.append(o)
-        attn_out = jnp.concatenate(head_outs, axis=-1)
+        else:
+            head_outs = []
+            for i in range(num_heads):
+                q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
+                k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+                v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+                a = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                )
+                a = a + bias_ref[i].astype(jnp.float32)
+                a = a - jnp.max(a, axis=-1, keepdims=True)
+                a = jnp.exp(a)
+                a = a / jnp.sum(a, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                head_outs.append(o)
+            attn_out = jnp.concatenate(head_outs, axis=-1)
 
         proj = (
             jax.lax.dot_general(
@@ -273,8 +288,9 @@ def fused_hab_block(
     packed: bool | None = None,
 ):
     """Fused HAB (inference). mask_tiled: (Bw, N, N) additive shift mask
-    (zeros for unshifted blocks). packed=None auto-selects head packing
-    for one-lane-tile embeds (packed_heads.use_packed)."""
+    (zeros for unshifted blocks). packed=None defers to the opt-in gate
+    (packed_heads.use_packed: off unless SRDEF_PACKED enables packing,
+    then one-lane-tile embeds pack)."""
     bw, n, c = x_windows.shape
     head_dim = c // num_heads
     blk = min(block_windows, bw)
@@ -311,7 +327,8 @@ def fused_hab_block(
     )
 
 
-def _make_kernel_fwd_h(num_heads: int, head_dim: int, scale: float):
+def _make_kernel_fwd_h(num_heads: int, head_dim: int, scale: float,
+                       packed: bool = False):
     """Forward that also emits h (the post-attention residual) so the split
     backward skips recomputing the attention for the MLP half."""
     c = num_heads * head_dim
@@ -334,25 +351,33 @@ def _make_kernel_fwd_h(num_heads: int, head_dim: int, scale: float):
             )
             + bqkv_ref[:].astype(jnp.float32)
         ).astype(dt).reshape(blk, n, 3 * c)
-        head_outs = []
-        for i in range(num_heads):
-            q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
-            k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
-            v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
-            a = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        if packed:
+            from .packed_heads import packed_mha
+
+            attn_out = packed_mha(
+                qkv[:, :, :c], qkv[:, :, c : 2 * c], qkv[:, :, 2 * c :],
+                bias_ref[:], None, num_heads=num_heads, scale=scale,
             )
-            a = a + bias_ref[i].astype(jnp.float32)
-            a = a - jnp.max(a, axis=-1, keepdims=True)
-            a = jnp.exp(a)
-            a = a / jnp.sum(a, axis=-1, keepdims=True)
-            head_outs.append(
-                jax.lax.dot_general(
-                    a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+        else:
+            head_outs = []
+            for i in range(num_heads):
+                q = qkv[:, :, i * head_dim : (i + 1) * head_dim] * jnp.asarray(scale, dt)
+                k = qkv[:, :, c + i * head_dim : c + (i + 1) * head_dim]
+                v = qkv[:, :, 2 * c + i * head_dim : 2 * c + (i + 1) * head_dim]
+                a = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
                 )
-            )
-        attn_out = jnp.concatenate(head_outs, axis=-1)
+                a = a + bias_ref[i].astype(jnp.float32)
+                a = a - jnp.max(a, axis=-1, keepdims=True)
+                a = jnp.exp(a)
+                a = a / jnp.sum(a, axis=-1, keepdims=True)
+                head_outs.append(
+                    jax.lax.dot_general(
+                        a.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            attn_out = jnp.concatenate(head_outs, axis=-1)
         proj = (
             jax.lax.dot_general(
                 attn_out.astype(dt).reshape(blk * n, c), wproj_ref[:],
@@ -445,7 +470,8 @@ def _bwd_mlp_kernel(
     dh_ref[:] = (dh + dout).reshape(blk, n, c).astype(dh_ref.dtype)
 
 
-def _make_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float):
+def _make_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float,
+                          packed: bool = False):
     """Attention+LN1 backward given dh (grad at the residual-1 output)."""
     c = num_heads * head_dim
 
@@ -491,6 +517,39 @@ def _make_bwd_attn_kernel(num_heads: int, head_dim: int, scale: float):
             preferred_element_type=jnp.float32,
         ).reshape(blk, n, c)
         dbproj_ref[...] += jnp.sum(dh, axis=0)
+
+        if packed:
+            from .packed_heads import packed_mha_grads
+
+            attn_out, dq, dk, dv, dbias = packed_mha_grads(
+                qkv[:, :, :c], qkv[:, :, c : 2 * c], qkv[:, :, 2 * c :],
+                dattn, bias_ref[:], None, num_heads=num_heads, scale=scale,
+            )
+            dbias_ref[...] += dbias
+            dwproj_ref[...] += jax.lax.dot_general(
+                attn_out.astype(dt).reshape(blk * n, c), dh.astype(dt),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            dqkv2d = jnp.concatenate([dq, dk, dv], axis=-1).reshape(blk * n, 3 * c)
+            dbqkv_ref[...] += jnp.sum(dqkv2d, axis=0)
+            dwqkv_ref[...] += jax.lax.dot_general(
+                x2d, dqkv2d.astype(dt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dxn = jax.lax.dot_general(
+                dqkv2d.astype(dt), wqkv_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(blk, n, c)
+            dln1s_ref[...] += jnp.sum((dxn * xhat1).reshape(blk * n, c), axis=0)
+            dln1b_ref[...] += jnp.sum(dxn.reshape(blk * n, c), axis=0)
+            dxh1 = dxn * ln1s_ref[:].astype(jnp.float32)
+            dx_ln = rstd1 * (
+                dxh1
+                - jnp.mean(dxh1, axis=-1, keepdims=True)
+                - xhat1 * jnp.mean(dxh1 * xhat1, axis=-1, keepdims=True)
+            )
+            dx_ref[:] = (dx_ln + dh.reshape(blk, n, c)).astype(dx_ref.dtype)
+            return
 
         # one pass per head: recompute a, grads, and the head's attn output
         # (needed for dWproj) without keeping every head's a live
@@ -822,25 +881,26 @@ def fused_swin_block_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(15, 16, 17)
+    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18)
 )
 def fused_swin_block_ad(
     x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
     ln2_scale, ln2_bias, w1, b1, w2, b2, _unused,
-    num_heads, scale, block_windows,
+    num_heads, scale, block_windows, packed=False,
 ):
     """Differentiable fused block: pallas forward + pallas backward."""
     return fused_swin_block(
         x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
         ln2_scale, ln2_bias, w1, b1, w2, b2,
         num_heads=num_heads, scale=scale, block_windows=block_windows,
+        packed=packed,
     )
 
 
 def fused_swin_block_fwd_h(
     x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
     ln2_scale, ln2_bias, w1, b1, w2, b2,
-    *, num_heads, scale, block_windows,
+    *, num_heads, scale, block_windows, packed=False,
 ):
     """Forward emitting (out, h) — h feeds the split backward."""
     bw, n, c = x_windows.shape
@@ -849,7 +909,7 @@ def fused_swin_block_fwd_h(
     while bw % blk:
         blk -= 1
     hidden = w1.shape[1]
-    kernel = _make_kernel_fwd_h(num_heads, head_dim, scale)
+    kernel = _make_kernel_fwd_h(num_heads, head_dim, scale, packed)
 
     def tile(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -912,14 +972,14 @@ def _bwd_mlp(h, dout, ln2_scale, ln2_bias, w1, b1, w2, b2, *, block_windows=32):
 
 def _bwd_attn(
     x, dh, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj,
-    *, num_heads, scale, block_windows=16,
+    *, num_heads, scale, block_windows=16, packed=False,
 ):
     bw, n, c = x.shape
     head_dim = c // num_heads
     blk = min(block_windows, bw)
     while bw % blk:
         blk -= 1
-    kernel = _make_bwd_attn_kernel(num_heads, head_dim, scale)
+    kernel = _make_bwd_attn_kernel(num_heads, head_dim, scale, packed)
 
     def tile(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -952,14 +1012,14 @@ def _bwd_attn(
 def _ad_fwd(
     x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
     ln2_scale, ln2_bias, w1, b1, w2, b2, _unused,
-    num_heads, scale, block_windows,
+    num_heads, scale, block_windows, packed=False,
 ):
     out, h = fused_swin_block_fwd_h(
         x_windows, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
         ln2_scale, ln2_bias, w1, b1, w2, b2,
         num_heads=num_heads, scale=scale,
         # the extra h output block pushes 32-window tiles 132KB over VMEM
-        block_windows=min(block_windows, 16),
+        block_windows=min(block_windows, 16), packed=packed,
     )
     res = (
         x_windows, h, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
@@ -968,7 +1028,7 @@ def _ad_fwd(
     return out, res
 
 
-def _ad_bwd(num_heads, scale, block_windows, res, dout):
+def _ad_bwd(num_heads, scale, block_windows, packed, res, dout):
     (
         x_windows, h, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj, bproj,
         ln2_scale, ln2_bias, w1, b1, w2, b2,
@@ -993,7 +1053,7 @@ def _ad_bwd(num_heads, scale, block_windows, res, dout):
         x_windows, dh, ln1_scale, ln1_bias, wqkv, bqkv, bias, wproj,
         num_heads=num_heads, scale=scale,
         # attention-bwd live set overflows VMEM by 1.4MB at 16 windows
-        block_windows=min(block_windows, 8),
+        block_windows=min(block_windows, 8), packed=packed,
     )
     cast = lambda g, ref: g.astype(ref.dtype)  # noqa: E731
     return (
@@ -1074,14 +1134,18 @@ def make_fused_swinir(
             p["mlp"]["fc2"]["linear"]["kernel"].astype(dtype),
             p["mlp"]["fc2"]["linear"]["bias"],
         )
+        from .packed_heads import packing_helps
+
+        packed = packing_helps(heads, d, ws * ws, ws * ws)
         if differentiable:
             out = fused_swin_block_ad(
-                *block_args, None, heads, d**-0.5, block_windows
+                *block_args, None, heads, d**-0.5, block_windows, packed
             )
         else:
             out = fused_swin_block(
                 *block_args,
                 num_heads=heads, scale=d**-0.5, block_windows=block_windows,
+                packed=packed,
             )
         y = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
         return jnp.roll(y, (shift, shift), axis=(1, 2)) if shift else y
@@ -1120,7 +1184,7 @@ def make_fused_swinir(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "block_windows")
+    jax.jit, static_argnames=("num_heads", "scale", "block_windows", "packed")
 )
 def fused_swin_block(
     x_windows,            # (Bw, N, C) pre-partitioned (+pre-rolled) windows
@@ -1134,6 +1198,7 @@ def fused_swin_block(
     num_heads: int,
     scale: float,
     block_windows: int = 32,
+    packed: bool | None = None,
 ):
     bw, n, c = x_windows.shape
     head_dim = c // num_heads
@@ -1142,7 +1207,11 @@ def fused_swin_block(
         blk -= 1
     hidden = w1.shape[1]
 
-    kernel = _make_kernel(num_heads, head_dim, scale)
+    if packed is None:
+        from .packed_heads import packing_helps
+
+        packed = packing_helps(num_heads, head_dim, n, n)
+    kernel = _make_kernel(num_heads, head_dim, scale, packed)
     grid = (bw // blk,)
 
     def tile(shape):

@@ -142,3 +142,84 @@ def test_ocab_backward_packed_bitexact(dtype):
                  packed=True)
     for g0, g1 in zip(r0, r1):
         _assert_close(g1, g0, dtype)
+
+# --- swin W-MSA (embed 180, head_dim 30: best grouping = pairs of heads,
+# packed_heads.best_group) — forward, fwd_h, and attention backward -------
+
+from superresolution_def_tpu.kernels.swin_block import (  # noqa: E402
+    fused_swin_block, fused_swin_block_fwd_h, _bwd_attn,
+)
+from superresolution_def_tpu.kernels.packed_heads import best_group  # noqa: E402
+
+S_HEADS, S_HD = 6, 30
+S_C = S_HEADS * S_HD  # 180 — flagship SwinIR embed (train_swin.py:147)
+S_HIDDEN = 2 * S_C
+S_SCALE = S_HD**-0.5
+
+
+def test_best_group_models_shapes():
+    assert best_group(S_HEADS, S_HD, N, N) == 2      # swin: pairs
+    assert best_group(HEADS, HD, N, N) == HEADS      # HAT HAB: full pack
+    assert best_group(HEADS, HD, N, NK) == HEADS     # OCAB: full pack
+    assert best_group(1, 64, N, N) == 1              # nothing to pack
+
+
+def _swin_args(dtype):
+    return dict(
+        x_w=_rng((BW, N, S_C), 0, dtype),
+        ln1s=_rng((S_C,), 3, jnp.float32) + 1.0,
+        ln1b=_rng((S_C,), 4, jnp.float32),
+        wqkv=_rng((S_C, 3 * S_C), 5, dtype),
+        bqkv=_rng((3 * S_C,), 6, jnp.float32),
+        bias=_rng((S_HEADS, N, N), 7, jnp.float32),
+        wproj=_rng((S_C, S_C), 8, dtype),
+        bproj=_rng((S_C,), 9, jnp.float32),
+        ln2s=_rng((S_C,), 10, jnp.float32) + 1.0,
+        ln2b=_rng((S_C,), 11, jnp.float32),
+        w1=_rng((S_C, S_HIDDEN), 12, dtype),
+        b1=_rng((S_HIDDEN,), 13, jnp.float32),
+        w2=_rng((S_HIDDEN, S_C), 14, dtype),
+        b2=_rng((S_C,), 15, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_swin_forward_packed_equiv(dtype):
+    args = _swin_args(dtype)
+    fwd = functools.partial(
+        fused_swin_block, num_heads=S_HEADS, scale=S_SCALE, block_windows=2,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out0 = fwd(*args.values(), packed=False)
+        out1 = fwd(*args.values(), packed=True)
+    _assert_close(out1, out0, dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_swin_fwd_h_packed_equiv(dtype):
+    args = _swin_args(dtype)
+    fwd = functools.partial(
+        fused_swin_block_fwd_h, num_heads=S_HEADS, scale=S_SCALE,
+        block_windows=2,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out0, h0 = fwd(*args.values(), packed=False)
+        out1, h1 = fwd(*args.values(), packed=True)
+    _assert_close(out1, out0, dtype)
+    _assert_close(h1, h0, dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_swin_backward_packed_equiv(dtype):
+    a = _swin_args(dtype)
+    dh = _rng((BW, N, S_C), 20, dtype)
+    bwd = functools.partial(
+        _bwd_attn, num_heads=S_HEADS, scale=S_SCALE, block_windows=2,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        r0 = bwd(a["x_w"], dh, a["ln1s"], a["ln1b"], a["wqkv"], a["bqkv"],
+                 a["bias"], a["wproj"], packed=False)
+        r1 = bwd(a["x_w"], dh, a["ln1s"], a["ln1b"], a["wqkv"], a["bqkv"],
+                 a["bias"], a["wproj"], packed=True)
+    for g0, g1 in zip(r0, r1):
+        _assert_close(g1, g0, dtype)
