@@ -34,7 +34,20 @@ V5E_BF16_PEAK = 197e12  # TPU v5e (v5 lite) MXU peak, bf16 with f32 accum
 
 
 # ---------------------------------------------------------------- jaxpr walk
-def _dot_flops(eqn) -> float:
+def _mxu_eff_flops(batch: float, m: float, k: float, n: float) -> float:
+    """Effective (time-equivalent) FLOPs on a 128x128 MXU.
+
+    A GEMM streams M rows through ceil(K/128)*ceil(N/128) array passes, so
+    its time-equivalent full-tile FLOPs are batch*M*ceil128(K)*ceil128(N)*2
+    — a (64,15)x(15,64) head dot burns a full 128x128 pass per row despite
+    computing 15*64 of the 128*128 MACs. The ratio flops/eff_flops is the
+    shape-imposed ceiling (the model packed_heads.best_group optimizes).
+    """
+    t = lambda v: 128.0 * np.ceil(v / 128.0)  # noqa: E731
+    return 2.0 * batch * m * t(k) * t(n)
+
+
+def _dot_flops(eqn) -> tuple[float, float]:
     (lhs, rhs) = (v.aval for v in eqn.invars[:2])
     dnums = eqn.params["dimension_numbers"]
     (lc, rc), (lb, rb) = dnums
@@ -52,29 +65,30 @@ def _dot_flops(eqn) -> float:
             dtype=np.float64,
         )
     )
-    return 2.0 * batch * m * n * k
+    return 2.0 * batch * m * n * k, _mxu_eff_flops(batch, m, k, n)
 
 
-def _conv_flops(eqn) -> float:
+def _conv_flops(eqn) -> tuple[float, float]:
     lhs, rhs = (v.aval for v in eqn.invars[:2])
     out = eqn.outvars[0].aval
     dn = eqn.params["dimension_numbers"]
-    groups = eqn.params.get("feature_group_count", 1) * eqn.params.get(
-        "batch_group_count", 1
-    )
     # rhs_spec: (out_ch, in_ch/groups, *spatial) positions
     kernel_spatial = np.prod(
         [rhs.shape[i] for i in dn.rhs_spec[2:]], dtype=np.float64
     )
     cin_per_group = rhs.shape[dn.rhs_spec[1]]
-    return 2.0 * float(np.prod(out.shape, dtype=np.float64)) * cin_per_group * kernel_spatial
+    cout = out.shape[dn.out_spec[1]]
+    m = float(np.prod(out.shape, dtype=np.float64)) / cout  # batch*spatial
+    k = cin_per_group * kernel_spatial  # implicit-GEMM contraction
+    flops = 2.0 * m * cout * k
+    return flops, _mxu_eff_flops(1.0, m, k, cout)
 
 
-def count_flops(jaxpr) -> float:
-    """Matmul+conv FLOPs of a (Closed)Jaxpr, recursing into sub-jaxprs."""
+def count_flops(jaxpr) -> tuple[float, float]:
+    """(flops, mxu_eff_flops) of a (Closed)Jaxpr, recursing into sub-jaxprs."""
     if hasattr(jaxpr, "jaxpr"):  # ClosedJaxpr
         jaxpr = jaxpr.jaxpr
-    total = 0.0
+    total = np.zeros(2)
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
         if name == "dot_general":
@@ -83,20 +97,21 @@ def count_flops(jaxpr) -> float:
             total += _conv_flops(eqn)
         elif name == "cond":
             branches = eqn.params["branches"]
-            total += max(count_flops(b) for b in branches)
+            total += max((np.asarray(count_flops(b)) for b in branches),
+                         key=lambda v: v[0])
         else:
             mult = eqn.params.get("length", 1) if name == "scan" else 1
             for v in eqn.params.values():
                 if hasattr(v, "jaxpr") or hasattr(v, "eqns"):
-                    total += mult * count_flops(v)
+                    total += mult * np.asarray(count_flops(v))
                 elif isinstance(v, (tuple, list)):
                     for vv in v:
                         if hasattr(vv, "jaxpr") or hasattr(vv, "eqns"):
-                            total += mult * count_flops(vv)
-    return total
+                            total += mult * np.asarray(count_flops(vv))
+    return float(total[0]), float(total[1])
 
 
-def flops_of(fn, *args) -> float:
+def flops_of(fn, *args) -> tuple[float, float]:
     return count_flops(jax.make_jaxpr(fn)(*args))
 
 
@@ -174,8 +189,11 @@ def swin_train_flops(use_vgg: bool = True):
         "lr": sds((4, 2, 128, 128, 1), jnp.uint16),
         "hr": sds((4, 2, 512, 512, 1), jnp.uint16),
     }
-    f = flops_of(step, state_sds, batch, sds((), jnp.float32), sds((), jnp.float32))
-    return f, 8  # flops per step, patches per step
+    f = flops_of(
+        lambda *a: step(*a),
+        state_sds, batch, sds((), jnp.float32), sds((), jnp.float32),
+    )
+    return f, 8  # (flops, eff_flops) per step, patches per step
 
 
 def hat_train_flops(use_vgg: bool = True, warmup: bool = False):
@@ -250,25 +268,31 @@ def main():
     comp = component_flops()
 
     print(f"\nTPU v5e bf16 MXU peak assumed: {V5E_BF16_PEAK/1e12:.0f} TFLOP/s")
-    print(f"{'config':<28} {'GFLOP/patch':>12} {'SoL p/s':>9} "
-          f"{'measured':>9} {'% of SoL':>9}")
+    print(f"{'config':<26} {'GFLOP/p':>9} {'SoL p/s':>8} {'shape-SoL':>9} "
+          f"{'measured':>9} {'%SoL':>6} {'%shape':>7}")
     result = {}
-    for name, f, per, measured in rows:
+    for name, (f, eff), per, measured in rows:
         gflop = f / per / 1e9
         sol = V5E_BF16_PEAK / (f / per)
+        shape_sol = V5E_BF16_PEAK / (eff / per)
         pct = 100.0 * measured / sol
-        print(f"{name:<28} {gflop:>12.1f} {sol:>9.1f} {measured:>9.2f} {pct:>8.1f}%")
+        pct_s = 100.0 * measured / shape_sol
+        print(f"{name:<26} {gflop:>9.1f} {sol:>8.1f} {shape_sol:>9.1f} "
+              f"{measured:>9.2f} {pct:>5.1f}% {pct_s:>6.1f}%")
         result[name] = {
             "gflop_per_patch": round(gflop, 2),
             "sol_patches_per_s": round(sol, 2),
+            "shape_sol_patches_per_s": round(shape_sol, 2),
             "measured": measured,
             "pct_of_sol": round(pct, 1),
+            "pct_of_shape_sol": round(pct_s, 1),
         }
 
-    print("\ncomponent forwards:")
-    for name, f in comp.items():
-        print(f"  {name:<26} {f/1e9:>10.1f} GFLOP")
-        result[name] = {"gflop": round(f / 1e9, 2)}
+    print("\ncomponent forwards (GFLOP, shape-efficiency):")
+    for name, (f, eff) in comp.items():
+        print(f"  {name:<26} {f/1e9:>10.1f} GFLOP  mxu-eff {100*f/eff:>5.1f}%")
+        result[name] = {"gflop": round(f / 1e9, 2),
+                        "mxu_shape_eff_pct": round(100 * f / eff, 1)}
 
     if args.json:
         print(json.dumps(result, indent=2))
