@@ -291,7 +291,7 @@ def make_fused_hat_train(
             p["mlp"]["fc1"]["linear"]["bias"],
             p["mlp"]["fc2"]["linear"]["kernel"].astype(dtype),
             p["mlp"]["fc2"]["linear"]["bias"],
-            heads, d**-0.5, 0.01, block_windows, use_packed(c),
+            heads, d**-0.5, 0.01, block_windows, use_packed(c, train=True),
         )
         y = window_reverse(out.reshape(-1, ws, ws, c), ws, h, w)
         if shift:

@@ -376,6 +376,6 @@ def ocab_train(p, x, ws, overlap_ratio, heads, block_windows=16):
         p["mlp"]["fc1"]["linear"]["bias"],
         p["mlp"]["fc2"]["linear"]["kernel"].astype(x.dtype),
         p["mlp"]["fc2"]["linear"]["bias"],
-        heads, d**-0.5, block_windows, use_packed(c),
+        heads, d**-0.5, block_windows, use_packed(c, train=True),
     )
     return window_reverse(out_w.reshape(-1, ws, ws, c), ws, h, w)

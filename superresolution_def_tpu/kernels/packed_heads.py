@@ -37,10 +37,14 @@ These helpers are plain traced jnp code meant to be CALLED INSIDE a
 Pallas kernel body (hab_train.py, swin_block.py, ocab.py, ocab_train.py)
 — they are not pallas_calls themselves.
 
-Packing is OPT-IN (`SRDEF_PACKED=auto` or a forced group size): the
-packed operands enlarge the kernels' VMEM live set, and interpret-mode
-equivalence cannot validate scoped-vmem budgets on the real chip. The
-default stays the per-head loop until the playbook's on-chip A/B lands.
+Defaults (on-chip A/B, PERF.md round-3 final session): packing is ON
+(`auto`) for FORWARD kernels on the TPU backend — it compiles on real
+hardware and wins +9.2% on config #1 / +9.7% on config #2 — and OFF for
+TRAINING kernels (packed backward VMEM budget not yet A/B'd on-chip)
+and non-TPU backends (no MXU to win on; keeps the CPU test tier's fp32
+parity expectations bit-stable). `SRDEF_PACKED` overrides both ways:
+`off` forces the per-head loop everywhere, `auto`/`<g>` forces packing
+everywhere (how the bench*_packed A/Bs opt the train side in).
 """
 
 from __future__ import annotations
@@ -102,25 +106,51 @@ def best_group(num_heads: int, head_dim: int, nq: int, nk: int) -> int:
     )
 
 
-def _env_mode() -> str | None:
-    """SRDEF_PACKED mode: None = packing disabled (the DEFAULT — the
-    per-head loop is the only form that has compiled on real hardware;
-    the packed layout's larger VMEM live set is unvalidated on-chip, and
-    interpret mode cannot check scoped-vmem budgets — see the fast-GELU
-    tile-cap episode in PERF.md), 'auto' = tile-pass-model grouping, or a
-    digit string g>=2 forcing the group size."""
+def _env_mode(train: bool = False) -> str | None:
+    """Packing mode for a call site. SRDEF_PACKED, when set, decides for
+    BOTH forward and training kernels: '0'/'off'/'false' = per-head loop,
+    a digit g>=2 = forced group size, anything else = 'auto'
+    (tile-pass-model grouping).
+
+    When the env var is UNSET the default splits by call-site kind:
+
+    - forward/inference kernels on the TPU backend: 'auto'. A/B'd on a
+      real v5e (PERF.md round-3 final session): packed compiles and wins
+      +9.2% on config #1 (84.2 -> 91.96 p/s) and +9.7% on config #2
+      (48.31 -> 52.98 p/s).
+    - training kernels (custom-VJP forward+backward): None — the packed
+      backward's larger VMEM live set has not been A/B'd on-chip yet
+      (bench3_packed / bench4_fusedhab_packed in the playbook); flip
+      `PACKED_DEFAULT_TRAIN` when that data lands.
+    - any non-TPU backend: None. Packing only pays on the MXU, and the
+      per-head loop keeps the long-pinned fp32 parity expectations of
+      the CPU test tier bit-stable.
+    """
     v = os.environ.get("SRDEF_PACKED", "").lower()
-    if v in ("", "0", "off", "false"):
+    if v == "":
+        if train:
+            return PACKED_DEFAULT_TRAIN
+        if PACKED_DEFAULT_FWD is None:
+            return None
+        import jax
+
+        return PACKED_DEFAULT_FWD if jax.default_backend() == "tpu" else None
+    if v in ("0", "off", "false"):
         return None
     if v.isdigit() and int(v) >= 2:
         return v
     return "auto"
 
 
-def env_group(num_heads: int) -> int | None:
+# Measured defaults — see _env_mode's docstring for the evidence.
+PACKED_DEFAULT_FWD: str | None = "auto"
+PACKED_DEFAULT_TRAIN: str | None = None
+
+
+def env_group(num_heads: int, train: bool = False) -> int | None:
     """Forced group size from SRDEF_PACKED=<g>, if set, valid and dividing
     num_heads; else None (use the shape model)."""
-    mode = _env_mode()
+    mode = _env_mode(train)
     if mode not in (None, "auto"):
         g = int(mode)
         if num_heads % g == 0:
@@ -128,22 +158,27 @@ def env_group(num_heads: int) -> int | None:
     return None
 
 
-def packed_group(num_heads: int, head_dim: int, nq: int, nk: int) -> int:
-    """Env-aware group size: 1 (= per-head loop) unless SRDEF_PACKED opts
-    in, then the forced group or the tile-pass-model best."""
-    mode = _env_mode()
+def packed_group(
+    num_heads: int, head_dim: int, nq: int, nk: int, train: bool = False
+) -> int:
+    """Mode-aware group size: 1 (= per-head loop) when `_env_mode` says
+    packing is off for this call-site kind, else the forced group or the
+    tile-pass-model best."""
+    mode = _env_mode(train)
     if mode is None:
         return 1
-    forced = env_group(num_heads)
+    forced = env_group(num_heads, train)
     if forced is not None:
         return forced
     return best_group(num_heads, head_dim, nq, nk)
 
 
-def packing_helps(num_heads: int, head_dim: int, nq: int, nk: int) -> bool:
-    """True when SRDEF_PACKED opts in AND some head grouping strictly
-    beats the per-head loop on MXU tile-passes."""
-    return packed_group(num_heads, head_dim, nq, nk) > 1
+def packing_helps(
+    num_heads: int, head_dim: int, nq: int, nk: int, train: bool = False
+) -> bool:
+    """True when packing is enabled for this call-site kind AND some head
+    grouping strictly beats the per-head loop on MXU tile-passes."""
+    return packed_group(num_heads, head_dim, nq, nk, train) > 1
 
 
 def packed_mha(q_all, k_all, v_all, bias, mask, *, num_heads: int, scale: float,
@@ -304,15 +339,13 @@ def _packed_mha_grads_slab(q_all, k_all, v_all, dattn, bias, mask, *,
     return attn_out, dq, dk, dv, dbias
 
 
-def use_packed(c: int) -> bool:
-    """Opt-in gate for the HAT kernels: pack only when SRDEF_PACKED opts
-    in AND the channel width fits one lane tile, where the packing halves
-    MXU passes (e.g. HAT embed 90). Wider embeds go through
-    `packing_helps` with real nq/nk instead.
+def use_packed(c: int, train: bool = False) -> bool:
+    """Gate for the HAT kernels: pack when `_env_mode` enables packing
+    for this call-site kind AND the channel width fits one lane tile,
+    where the packing halves MXU passes (e.g. HAT embed 90). Wider
+    embeds go through `packing_helps` with real nq/nk instead.
 
-    Packing is OFF by default: the per-head loop is the long-validated
-    form, and the packed layout's larger VMEM live set has never been
-    compiled on real hardware (interpret mode cannot catch scoped-vmem
-    overflows). Flip the default only after the playbook's on-chip A/B
-    (bench*_packed vs default) shows it compiles and wins."""
-    return _env_mode() is not None and c <= 128
+    Defaults (env unset): ON for forward kernels on TPU — A/B'd on-chip,
+    compiles and wins (PERF.md round-3 final session) — OFF for training
+    kernels and non-TPU backends; see `_env_mode`."""
+    return _env_mode(train) is not None and c <= 128

@@ -288,9 +288,9 @@ def fused_hab_block(
     packed: bool | None = None,
 ):
     """Fused HAB (inference). mask_tiled: (Bw, N, N) additive shift mask
-    (zeros for unshifted blocks). packed=None defers to the opt-in gate
-    (packed_heads.use_packed: off unless SRDEF_PACKED enables packing,
-    then one-lane-tile embeds pack)."""
+    (zeros for unshifted blocks). packed=None defers to
+    packed_heads.use_packed (default: packed on TPU — on-chip A/B'd —
+    per-head loop elsewhere; SRDEF_PACKED overrides)."""
     bw, n, c = x_windows.shape
     head_dim = c // num_heads
     blk = min(block_windows, bw)
@@ -1136,7 +1136,7 @@ def make_fused_swinir(
         )
         from .packed_heads import packing_helps
 
-        packed = packing_helps(heads, d, ws * ws, ws * ws)
+        packed = packing_helps(heads, d, ws * ws, ws * ws, train=differentiable)
         if differentiable:
             out = fused_swin_block_ad(
                 *block_args, None, heads, d**-0.5, block_windows, packed

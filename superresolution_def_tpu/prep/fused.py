@@ -228,6 +228,7 @@ def fused_prep_target(
     )
     hr_v = np.log1p(np.maximum(hr_stack, 0.0))
     hr_valid = hr_stack > MIN_VALID
+    t_hr = time.perf_counter()
 
     # Phase 1 — one reprojection dispatch per frame; patches stay on device
     frames = []  # (o_file, dev_patches, dev_keep)
@@ -257,6 +258,7 @@ def fused_prep_target(
     if not frames:
         log("[fused-prep] no observatory frames within 0.1 deg")
         return 0
+    t_p1 = time.perf_counter()
 
     # Phase 2 — ONE per-target stats+quantize dispatch over the
     # device-resident concatenation of every frame's patches (staged
@@ -273,6 +275,7 @@ def fused_prep_target(
         f"[fused-prep] target stats over {len(frames)} frame(s): "
         f"hr[{hr_lo:.5f},{hr_hi:.5f}] lr[{float(lr_lo):.5f},{float(lr_hi):.5f}]"
     )
+    t_p2 = time.perf_counter()
 
     idx = 0
     n_cand = len(candidates)
@@ -302,5 +305,10 @@ def fused_prep_target(
             write_tiff_u16(rd / "hubble.tiff", hr_u16[ci])
             write_tiff_u16(rd / "observatory.tiff", lr_u16[ci])
             idx += 1
-    log(f"[fused-prep] wrote {idx} pairs in {time.perf_counter() - t0:.2f}s")
+    t_end = time.perf_counter()
+    log(
+        f"[fused-prep] wrote {idx} pairs in {t_end - t0:.2f}s "
+        f"(hr-host {t_hr - t0:.2f}s, reproject-dispatches {t_p1 - t_hr:.2f}s, "
+        f"stats+download {t_p2 - t_p1:.2f}s, write-loop {t_end - t_p2:.2f}s)"
+    )
     return idx
