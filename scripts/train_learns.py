@@ -31,31 +31,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
-def synth_pair(rng: np.random.Generator, hr_size: int = 512):
-    """One structured sky: smooth nebulosity + PSF-blurred stars."""
-    from scipy.ndimage import gaussian_filter
-
-    # nebula: large-scale correlated background (scale-invariant: sigma and
-    # star count track hr_size so smaller proofs keep the same structure)
-    neb = gaussian_filter(rng.random((hr_size, hr_size)), hr_size * 48.0 / 512.0)
-    neb = (neb - neb.min()) / (np.ptp(neb) + 1e-9) * 0.25
-    # stars: sparse bright points, PSF sigma ~1.5 px (HR scale)
-    stars = np.zeros((hr_size, hr_size), np.float64)
-    density = hr_size * hr_size / (512.0 * 512.0)
-    n_stars = rng.integers(max(4, int(80 * density)), max(8, int(160 * density)))
-    ys = rng.integers(0, hr_size, n_stars)
-    xs = rng.integers(0, hr_size, n_stars)
-    amps = rng.pareto(2.0, n_stars) * 0.3 + 0.15
-    stars[ys, xs] = np.minimum(amps, 3.0)
-    stars = gaussian_filter(stars, 1.5)
-    hr = np.clip(neb + stars + rng.normal(0, 0.003, (hr_size, hr_size)), 0, 1)
-    lr = hr.reshape(hr_size // 4, 4, hr_size // 4, 4).mean(axis=(1, 3))
-    return hr.astype(np.float32), lr.astype(np.float32)
-
-
 def build_dataset(
     root: Path, n_pairs: int = 256, seed: int = 0, hr_size: int = 512
 ) -> None:
+    from superresolution_def_tpu.data.synth import synth_pair
     from superresolution_def_tpu.data.tiff import write_tiff_u16
     from superresolution_def_tpu.prep.splits import prepare_full_dataset
 

@@ -9,6 +9,7 @@ from .manifest import (
 from .tiff import read_tiff_u16, write_tiff_u16
 from .augment import augment_pair_batch
 from .pipeline import PatchDataset, DataIterator
+from .synth import synth_pair, synth_batch_u16
 
 __all__ = [
     "ManifestEntry",
@@ -22,4 +23,6 @@ __all__ = [
     "augment_pair_batch",
     "PatchDataset",
     "DataIterator",
+    "synth_pair",
+    "synth_batch_u16",
 ]
