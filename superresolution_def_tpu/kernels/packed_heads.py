@@ -37,14 +37,14 @@ These helpers are plain traced jnp code meant to be CALLED INSIDE a
 Pallas kernel body (hab_train.py, swin_block.py, ocab.py, ocab_train.py)
 — they are not pallas_calls themselves.
 
-Defaults (on-chip A/B, PERF.md round-3 final session): packing is ON
-(`auto`) for FORWARD kernels on the TPU backend — it compiles on real
-hardware and wins +9.2% on config #1 / +9.7% on config #2 — and OFF for
-TRAINING kernels (packed backward VMEM budget not yet A/B'd on-chip)
-and non-TPU backends (no MXU to win on; keeps the CPU test tier's fp32
-parity expectations bit-stable). `SRDEF_PACKED` overrides both ways:
-`off` forces the per-head loop everywhere, `auto`/`<g>` forces packing
-everywhere (how the bench*_packed A/Bs opt the train side in).
+Defaults (on-chip A/Bs, PERF.md rounds 3-4): packing is ON (`auto`) on
+the TPU backend for BOTH forward kernels (+9.2% config #1, +9.7%
+config #2, round-3 final session) and training kernels (+7.3% config
+#3, +3.2% on the opt-in fused-HAB hybrid path, round-4 playbook), and
+OFF on non-TPU backends (no MXU to win on; keeps the CPU test tier's
+fp32 parity expectations bit-stable). `SRDEF_PACKED` overrides both
+ways: `off` forces the per-head loop everywhere, `auto`/`<g>` forces
+packing everywhere (how the bench*_packed A/Bs were run).
 """
 
 from __future__ import annotations
@@ -118,24 +118,35 @@ def _env_mode(train: bool = False) -> str | None:
       real v5e (PERF.md round-3 final session): packed compiles and wins
       +9.2% on config #1 (84.2 -> 91.96 p/s) and +9.7% on config #2
       (48.31 -> 52.98 p/s).
-    - training kernels (custom-VJP forward+backward): None — the packed
-      backward's larger VMEM live set has not been A/B'd on-chip yet
-      (bench3_packed / bench4_fusedhab_packed in the playbook); flip
-      `PACKED_DEFAULT_TRAIN` when that data lands.
+    - training kernels (custom-VJP forward+backward) on TPU: 'auto'
+      since the round-4 on-chip A/Bs landed (PERF.md round-4 section):
+      config #3 packed 13.813 vs 12.874 p/s loop (+7.3%), and on the
+      opt-in fused-HAB training path packed 4.124 vs 3.997 (+3.2%) —
+      the packed backward compiles and wins at both call sites.
     - any non-TPU backend: None. Packing only pays on the MXU, and the
       per-head loop keeps the long-pinned fp32 parity expectations of
       the CPU test tier bit-stable.
+
+    Gating caveats (both defaults): the backend is resolved via
+    `jax.default_backend()` at TRACE time — fix SRDEF_PACKED and the
+    backend before the first trace of a kernel; a later env change will
+    not retrace an already-jitted call (the group size is a jit-static
+    value), and `jax.default_device(cpu)` on a TPU host still reports
+    'tpu' here (use SRDEF_PACKED=off to force the loop in that setup).
+    An explicitly exported EMPTY value (`SRDEF_PACKED=`) means 'off',
+    as it did before the packed defaults landed; only an UNSET variable
+    selects the measured defaults.
     """
-    v = os.environ.get("SRDEF_PACKED", "").lower()
-    if v == "":
-        if train:
-            return PACKED_DEFAULT_TRAIN
-        if PACKED_DEFAULT_FWD is None:
+    v = os.environ.get("SRDEF_PACKED")
+    if v is None:
+        default = PACKED_DEFAULT_TRAIN if train else PACKED_DEFAULT_FWD
+        if default is None:
             return None
         import jax
 
-        return PACKED_DEFAULT_FWD if jax.default_backend() == "tpu" else None
-    if v in ("0", "off", "false"):
+        return default if jax.default_backend() == "tpu" else None
+    v = v.lower()
+    if v in ("", "0", "off", "false"):
         return None
     if v.isdigit() and int(v) >= 2:
         return v
@@ -144,7 +155,7 @@ def _env_mode(train: bool = False) -> str | None:
 
 # Measured defaults — see _env_mode's docstring for the evidence.
 PACKED_DEFAULT_FWD: str | None = "auto"
-PACKED_DEFAULT_TRAIN: str | None = None
+PACKED_DEFAULT_TRAIN: str | None = "auto"
 
 
 def env_group(num_heads: int, train: bool = False) -> int | None:
@@ -345,7 +356,7 @@ def use_packed(c: int, train: bool = False) -> bool:
     where the packing halves MXU passes (e.g. HAT embed 90). Wider
     embeds go through `packing_helps` with real nq/nk instead.
 
-    Defaults (env unset): ON for forward kernels on TPU — A/B'd on-chip,
-    compiles and wins (PERF.md round-3 final session) — OFF for training
-    kernels and non-TPU backends; see `_env_mode`."""
+    Defaults (env unset): ON for forward AND training kernels on TPU —
+    A/B'd on-chip, compiles and wins at every measured call site
+    (PERF.md rounds 3-4) — OFF on non-TPU backends; see `_env_mode`."""
     return _env_mode(train) is not None and c <= 128
