@@ -49,7 +49,7 @@ def main() -> None:
     )
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument(
-        "--impl", default=None, choices=["xla", "pallas", "fused"],
+        "--impl", default=None, choices=["xla", "pallas", "fused", "iofloor"],
         help="default: 'fused' on a TPU backend in bf16 (whole-block "
              "kernels for swin: 2.1x infer, 1.4x train; HAB+OCAB+"
              "channels-major-RDB kernels for the hybrid: 1.9x infer, 1.4x "
@@ -376,6 +376,39 @@ def bench_prep(args) -> None:
         m = normalize_target(tmp / "pairs", tmp / "ready", log=lambda *a: None)
         dt = time.perf_counter() - t0
         metric = "staged_prep_pairs_per_sec"
+    elif args.impl == "iofloor":
+        # IO-only floor: write the SAME per-pair bytes (512² f32 + 128² f32
+        # FITS, 512² + 128² u16 TIFFs) for the same pair count with NO
+        # compute — bounds what any prep implementation can reach on this
+        # host's filesystem. Uses the same writer pool as the fused path.
+        from superresolution_def_tpu.prep.fused import (
+            _WriterPool, _write_pair_fits, _write_pair_tiff,
+        )
+
+        n_pairs = ((size - 512) // 128 + 1) ** 2  # fused path's keep count
+        hr_f32 = sky[:512, :512].copy()
+        lr_f32 = obs[:128, :128].copy()
+        hr_u16 = (hr_f32 * 65535).astype(np.uint16)
+        lr_u16 = (lr_f32 * 65535).astype(np.uint16)
+        hdr_h, hdr_l = w_h.to_header(), w_o.to_header()
+        best = float("inf")
+        for rep in range(2):
+            out = tmp / f"run{rep}"
+            (out / "pairs").mkdir(parents=True)
+            (out / "ready").mkdir(parents=True)
+            t0 = time.perf_counter()
+            pool = _WriterPool()
+            for i in range(n_pairs):
+                name = f"pair_{i:06d}"
+                pool.submit(
+                    _write_pair_fits, out / "pairs" / name,
+                    hr_f32, lr_f32, hdr_h, hdr_l,
+                )
+                pool.submit(_write_pair_tiff, out / "ready" / name, hr_u16, lr_u16)
+            pool.drain()
+            best = min(best, time.perf_counter() - t0)
+        m, dt = n_pairs, best
+        metric = "iofloor_prep_pairs_per_sec"
     else:
         # warm the device program's compile cache on a tiny shape-alike
         # run is unnecessary: compile happens once inside the timed region

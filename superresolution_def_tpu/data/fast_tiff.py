@@ -107,13 +107,12 @@ def read_batch_u16(paths: list, h: int, w: int, nthreads: int = 8) -> tuple[np.n
     return out, status
 
 
-def write_tiff_u16_native(path: str | Path, img01: np.ndarray) -> bool:
+def write_u16_native(path: str | Path, u16: np.ndarray) -> bool:
+    """Write an already-quantized (H, W) uint16 array; False -> PIL fallback."""
     lib = _load()
     if lib is None:
         return False
-    arr = np.clip(np.asarray(img01, np.float64), 0.0, 1.0)
-    u16 = np.ascontiguousarray((arr * 65535.0).astype(np.uint16))
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    u16 = np.ascontiguousarray(u16, dtype=np.uint16)
     rc = lib.tiff_write_u16(
         str(path).encode(),
         u16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
@@ -121,3 +120,10 @@ def write_tiff_u16_native(path: str | Path, img01: np.ndarray) -> bool:
         u16.shape[1],
     )
     return rc == 0
+
+
+def write_tiff_u16_native(path: str | Path, img01: np.ndarray) -> bool:
+    arr = np.clip(np.asarray(img01, np.float64), 0.0, 1.0)
+    u16 = (arr * 65535.0).astype(np.uint16)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    return write_u16_native(path, u16)

@@ -29,9 +29,15 @@ def read_tiff_u16(path: str | Path) -> np.ndarray:
 def write_tiff_u16(path: str | Path, img01: np.ndarray) -> None:
     """Write a [0,1] float image as 16-bit TIFF (reference save_tiff_16bit).
 
-    uint16 input is written as-is (already-quantized device output)."""
+    uint16 input is written as-is (already-quantized device output).
+    Encodes through the native writer (native/tifffast.cpp tiff_write_u16,
+    same uncompressed little-endian single-strip layout PIL produces and
+    both decoders read) with a PIL fallback when the lib is unavailable."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     arr = np.asarray(img01)
     if arr.dtype != np.uint16:
         arr = (np.clip(arr.astype(np.float64), 0.0, 1.0) * 65535.0).astype(np.uint16)
-    Image.fromarray(arr).save(str(path))  # uint16 -> PIL mode 'I;16'
+    from .fast_tiff import write_u16_native
+
+    if not write_u16_native(path, arr):
+        Image.fromarray(arr).save(str(path))  # uint16 -> PIL mode 'I;16'

@@ -48,6 +48,7 @@ from __future__ import annotations
 import functools
 import math
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -167,6 +168,42 @@ def _hr_host_stats_quantize(hr_v, hr_valid, counts):
     return (v01 * 65535.0).astype(np.uint16), float(lo), float(hi)
 
 
+class _WriterPool:
+    """Async file-writer pool overlapping host IO with device compute.
+
+    File writes release the GIL in the write syscall and PIL/FITS encode
+    paths, so a small thread pool lets the pair writes proceed while the
+    main thread blocks on device downloads (and, on multi-core hosts,
+    parallelizes the encode itself). ``drain()`` re-raises the first
+    failure so IO errors are not silently swallowed.
+    """
+
+    def __init__(self, workers: int = 4):
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._futs = []
+
+    def submit(self, fn, *a) -> None:
+        self._futs.append(self._pool.submit(fn, *a))
+
+    def drain(self) -> None:
+        for f in self._futs:
+            f.result()
+        self._futs.clear()
+        self._pool.shutdown()
+
+
+def _write_pair_fits(pd: Path, hr_f32, lr_f32, hdr_h, hdr_l) -> None:
+    pd.mkdir(exist_ok=True)
+    write_fits(pd / "hubble.fits", hr_f32, hdr_h)
+    write_fits(pd / "observatory.fits", lr_f32, hdr_l)
+
+
+def _write_pair_tiff(rd: Path, hr_u16, lr_u16) -> None:
+    rd.mkdir(exist_ok=True)
+    write_tiff_u16(rd / "hubble.tiff", hr_u16)
+    write_tiff_u16(rd / "observatory.tiff", lr_u16)
+
+
 def fused_prep_target(
     hubble_reg_dir: str | Path,
     obs_reg_dir: str | Path,
@@ -230,7 +267,9 @@ def fused_prep_target(
     hr_valid = hr_stack > MIN_VALID
     t_hr = time.perf_counter()
 
-    # Phase 1 — one reprojection dispatch per frame; patches stay on device
+    # Phase 1 — one reprojection dispatch per frame; patches stay on device.
+    # Dispatch is async: while the device reprojects frame i, the host
+    # builds frame i+1's sampling grids (the natural double-buffer).
     frames = []  # (o_file, dev_patches, dev_keep)
     for o_file in o_files:
         try:
@@ -258,57 +297,74 @@ def fused_prep_target(
     if not frames:
         log("[fused-prep] no observatory frames within 0.1 deg")
         return 0
-    t_p1 = time.perf_counter()
 
     # Phase 2 — ONE per-target stats+quantize dispatch over the
     # device-resident concatenation of every frame's patches (staged
-    # parity: normalize_target computes one (lo,hi) per target/stream)
-    lr_u16_all, lr_lo, lr_hi = _lr_normalize_program(
+    # parity: normalize_target computes one (lo,hi) per target/stream).
+    # Enqueued BEFORE any download so the device pipeline never drains.
+    lr_u16_dev, lr_lo_dev, lr_hi_dev = _lr_normalize_program(
         jnp.concatenate([p for _, p, _ in frames]),
         jnp.concatenate([k for _, _, k in frames]),
     )
-    lr_u16_all = np.asarray(lr_u16_all)
-    keeps = [np.asarray(k) for _, _, k in frames]
-    counts = np.sum(keeps, axis=0)
-    hr_u16, hr_lo, hr_hi = _hr_host_stats_quantize(hr_v, hr_valid, counts)
-    log(
-        f"[fused-prep] target stats over {len(frames)} frame(s): "
-        f"hr[{hr_lo:.5f},{hr_hi:.5f}] lr[{float(lr_lo):.5f},{float(lr_hi):.5f}]"
-    )
-    t_p2 = time.perf_counter()
+    t_p1 = time.perf_counter()
 
+    # While the device runs the stats program: download per-frame keeps and
+    # raw LR patches, assign pair names, and start the FITS writes on the
+    # writer pool (they depend only on phase-1 results). The HR host
+    # quantization overlaps the same window.
+    pool = _WriterPool()
     idx = 0
-    n_cand = len(candidates)
-    for fi, (o_file, patches, _) in enumerate(frames):
-        keep = keeps[fi]
-        lr_u16 = lr_u16_all[fi * n_cand : (fi + 1) * n_cand]
+    keeps = []
+    pair_names: list[list[str | None]] = []  # [frame][candidate] -> name
+    for o_file, patches, keep in frames:
+        keep = np.asarray(keep)
+        keeps.append(keep)
         # raw LR f32 patches leave the device only if FITS pairs are wanted
         lr_raw = np.asarray(patches) if write_fits_pairs else None
         log(f"[fused-prep] {o_file.name}: keep {int(keep.sum())}")
+        names: list[str | None] = []
         for ci, ((y, x), (pw, lrw)) in enumerate(zip(candidates, cand_wcs)):
             if not keep[ci]:
+                names.append(None)
                 continue
             name = f"pair_{idx:06d}"
+            names.append(name)
             if write_fits_pairs:
-                pd = pairs_dir / name
-                pd.mkdir(exist_ok=True)
-                write_fits(
-                    pd / "hubble.fits", hr_stack[ci].astype(np.float32),
-                    pw.to_header(),
+                pool.submit(
+                    _write_pair_fits, pairs_dir / name,
+                    hr_stack[ci].astype(np.float32),
+                    lr_raw[ci].astype(np.float32),
+                    pw.to_header(), lrw.to_header(),
                 )
-                write_fits(
-                    pd / "observatory.fits", lr_raw[ci].astype(np.float32),
-                    lrw.to_header(),
-                )
-            rd = ready_dir / name
-            rd.mkdir(exist_ok=True)
-            write_tiff_u16(rd / "hubble.tiff", hr_u16[ci])
-            write_tiff_u16(rd / "observatory.tiff", lr_u16[ci])
             idx += 1
+        pair_names.append(names)
+    counts = np.sum(keeps, axis=0)
+    hr_u16, hr_lo, hr_hi = _hr_host_stats_quantize(hr_v, hr_valid, counts)
+    t_fits = time.perf_counter()
+
+    # Quantized LR download (blocks until the stats program lands), then
+    # the TIFF writes stream through the same pool.
+    lr_u16_all = np.asarray(lr_u16_dev)
+    lr_lo, lr_hi = float(lr_lo_dev), float(lr_hi_dev)
+    log(
+        f"[fused-prep] target stats over {len(frames)} frame(s): "
+        f"hr[{hr_lo:.5f},{hr_hi:.5f}] lr[{lr_lo:.5f},{lr_hi:.5f}]"
+    )
+    t_p2 = time.perf_counter()
+
+    n_cand = len(candidates)
+    for fi in range(len(frames)):
+        lr_u16 = lr_u16_all[fi * n_cand : (fi + 1) * n_cand]
+        for ci, name in enumerate(pair_names[fi]):
+            if name is None:
+                continue
+            pool.submit(_write_pair_tiff, ready_dir / name, hr_u16[ci], lr_u16[ci])
+    pool.drain()
     t_end = time.perf_counter()
     log(
         f"[fused-prep] wrote {idx} pairs in {t_end - t0:.2f}s "
-        f"(hr-host {t_hr - t0:.2f}s, reproject-dispatches {t_p1 - t_hr:.2f}s, "
-        f"stats+download {t_p2 - t_p1:.2f}s, write-loop {t_end - t_p2:.2f}s)"
+        f"(hr-host {t_hr - t0:.2f}s, dispatches {t_p1 - t_hr:.2f}s, "
+        f"fits-enqueue+hr-quant {t_fits - t_p1:.2f}s, "
+        f"lr-download {t_p2 - t_fits:.2f}s, tiff+drain {t_end - t_p2:.2f}s)"
     )
     return idx
