@@ -56,4 +56,26 @@ run bench3_packed 2400 env SRDEF_PACKED=auto python bench.py --arch swin --mode 
 # 4. where the hat step time goes (D / OCAB-bwd / VGG attribution)
 run hat_train_breakdown 3600 python scripts/perf_breakdown.py --what hat-train
 
+# ---- session-2 items (queued after the 13:12 completion of 1-4) ----
+
+# 5. config #5: fused prep with the writer-pool IO/compute overlap, plus
+#    the IO-only floor (same bytes, no compute) bounding this host.
+run bench5_fused_overlap 2400 python bench.py --mode prep --iters 1
+run bench5_iofloor 1200 python bench.py --mode prep --impl iofloor --iters 1
+run bench5_staged 2400 python bench.py --mode prep --impl xla --iters 1
+
+# 6. config #4 TPU-native accumulation split: same 16-patch optimizer
+#    step (grad = mean over 16 either way; scan algebra in train/steps.py)
+#    at MXU-friendlier micro sizes. The reference's 1x16 split is a
+#    consumer-GPU VRAM artifact (README.md:117).
+run bench4_b2a8 3600 python bench.py --arch hat --mode train --batch 2 --accum 8 --iters 10
+run bench4_b4a4 3600 python bench.py --arch hat --mode train --batch 4 --accum 4 --iters 10
+# HBM fallback if b4a4 OOMs (flax-backbone activation stash scales with micro)
+[ -e /tmp/playbook_r04/bench4_b4a4.FAIL ] && \
+  run bench4_b4a4_remat 3600 python bench.py --arch hat --mode train --batch 4 --accum 4 --remat --iters 10
+
+# 7. swin train default re-measure now that packed training kernels are
+#    the TPU default (should reproduce bench3_packed's 13.813)
+run bench3_newdefault 2400 python bench.py --arch swin --mode train --iters 10
+
 echo "PLAYBOOK_R04 COMPLETE $(date +%H:%M:%S)"
