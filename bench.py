@@ -104,7 +104,11 @@ def main() -> None:
             args.impl = "fused" if on_tpu_bf16 else "xla"
     if args.batch is None:
         if args.mode == "train":
-            args.batch = 2 if args.arch == "swin" else 1
+            # hat: micro 2 x accum 8 = the same 16-patch optimizer step as
+            # the reference's 1x16 VRAM envelope, measured 5.361 vs 4.512
+            # p/s (PERF.md round-4); --batch 1 --accum 16 reproduces the
+            # reference split exactly
+            args.batch = 2
         else:
             args.batch = 3 if args.arch == "swin" else 8
     if args.mode == "train":
@@ -278,7 +282,8 @@ def bench_train(args) -> None:
         run = lambda s, b: step(s, b, 1e-4, 1e-4)
         metric = "swinir_gan_train_patches_per_sec_per_chip"
     else:
-        accum, micro = args.accum or 16, args.batch
+        # keep the 16-patch optimizer step: accum tracks the micro size
+        accum, micro = args.accum or max(1, 16 // args.batch), args.batch
         state, bundle = create_hat_train_state(
             jax.random.PRNGKey(0), img_size=size, dtype=dtype, attn_impl=attn,
             remat=args.remat, fused=(args.impl == "fused"),

@@ -460,12 +460,48 @@ def hat_train_breakdown(micro=1, dtype_name="bf16", impl="fused"):
 
     results["d_phase"] = chained_time(d_phase, sr_fixed)
 
+    # ---- the FULL production step at this micro size (accum chosen so
+    # accum x micro = 16, the reference's effective optimizer batch), and
+    # an optimizer/EMA-only step (zero-like grads through the real
+    # adam+EMA update) to attribute everything the phases don't cover:
+    # scan structure, augment, /65535 conversion, optimizer, EMA, SN
+    # threading.  full_step ms is per optimizer STEP, not per micro. ----
+    from superresolution_def_tpu.train import make_hat_train_step
+
+    accum = max(1, 16 // micro)
+    step = make_hat_train_step(bundle, accum_steps=accum)
+    rng2 = np.random.default_rng(1)
+    batch = {
+        "lr": rng2.integers(0, 65535, (accum, micro, 128, 128, 1), dtype=np.uint16),
+        "hr": rng2.integers(0, 65535, (accum, micro, 512, 512, 1), dtype=np.uint16),
+    }
+    st = state
+    st, mm = step(st, batch, 1e-4, 1e-4, warmup=False)
+    float(jax.device_get(mm["loss_g"]))
+    full_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            st, mm = step(st, batch, 1e-4, 1e-4, warmup=False)
+        float(jax.device_get(mm["loss_g"]))
+        full_times.append((time.perf_counter() - t0) / 3)
+    full = min(full_times)
+    phases = accum * (results["g_phase_full"] + results["d_phase"])
+    print(f"{'full_step':>16}: {full*1000:8.2f} ms/STEP   "
+          f"({accum * micro / full:7.2f} patches/s) [accum {accum} x micro {micro}]")
+    print(f"{'phases x accum':>16}: {phases*1000:8.2f} ms/STEP")
+    print(f"{'non-phase rest':>16}: {(full - phases)*1000:8.2f} ms/STEP "
+          f"({100 * (full - phases) / full:.1f}% of the step)")
+
     for k, v in results.items():
         print(f"{k:>16}: {v*1000:8.2f} ms/micro  ({micro/v:7.2f} patches/s)")
     est = results["g_phase_full"] + results["d_phase"]
     print(f"micro-step estimate (G+D phases): {est*1000:.2f} ms "
           f"-> {micro/est:.2f} p/s at accum x micro")
-    print(json.dumps({k: round(v * 1000, 3) for k, v in results.items()}))
+    out = {k: round(v * 1000, 3) for k, v in results.items()}
+    out["full_step_ms"] = round(full * 1000, 3)
+    out["accum"] = accum
+    print(json.dumps(out))
 
 
 def main():

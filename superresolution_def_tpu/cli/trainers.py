@@ -104,8 +104,15 @@ class HATTrainConfig:
     outputs_root: str = "outputs"
     epochs: int = 300
     warmup_epochs: int = 30
-    batch_size: int = 1
-    accum_steps: int = 16
+    # The reference trains micro 1 x accum 16 (train_hat.py:32,39) because
+    # of consumer-GPU VRAM (README.md:117). The optimizer step is the mean
+    # gradient over batch_size*accum_steps patches either way (the scan in
+    # train/steps.py divides each micro loss by accum), so the split is an
+    # execution detail; micro 2 x accum 8 measured 5.361 p/s vs 4.512 at
+    # 1x16 on the v5e (PERF.md round-4; micro 4 overflows 15.75G HBM
+    # without remat). Set 1x16 to reproduce the reference envelope.
+    batch_size: int = 2
+    accum_steps: int = 8
     lr_g: float = 1e-4
     lr_d: float = 1e-4
     ckpt_interval: int = 5

@@ -146,17 +146,30 @@ def _lr_normalize_program(stack, keep):
     return u16, lo, hi
 
 
-def _hr_host_stats_quantize(hr_v, hr_valid, counts):
-    """Per-target HR stats over the kept-pair multiset + one u16 stack.
+def _hr_host_stats(hr_v, hr_valid, counts, *, seed: int = 0):
+    """Per-target HR percentile stats over the kept-pair multiset.
 
-    ``counts[c]`` = how many observatory frames kept candidate ``c``; the
-    staged pipeline writes one hubble.fits copy per kept (frame, patch)
-    pair and computes stats over those files, so duplicated HR slices
-    count once per copy here too."""
-    chunks = [
-        np.repeat(hr_v[c][hr_valid[c]], int(k)) if k > 1 else hr_v[c][hr_valid[c]]
-        for c, k in enumerate(counts) if k > 0
-    ]
+    Reference-true sampling (Dataset_step4_normalization.py:51-67, same
+    as the staged ``calculate_robust_stats``): each written hubble.fits
+    copy contributes at most SAMPLES_PER_IMAGE randomly chosen valid
+    pixels to the percentile pool — ``counts[c]`` copies of candidate
+    ``c`` draw independently, like step 4 reading one file per kept
+    (frame, patch) pair. This replaced an exact all-pixel percentile
+    (~5 s of host sort over 169x512² in the config-#5 bench; the
+    sampled pool is ~700 k px and costs ~0.3 s)."""
+    from .normalize_pipeline import SAMPLES_PER_IMAGE
+
+    rng = np.random.default_rng(seed)
+    chunks = []
+    for c, k in enumerate(counts):
+        if k <= 0:
+            continue
+        valid = hr_v[c][hr_valid[c]]
+        for _ in range(int(k)):
+            if valid.size > SAMPLES_PER_IMAGE:
+                chunks.append(rng.choice(valid, SAMPLES_PER_IMAGE, replace=False))
+            else:
+                chunks.append(valid)
     pool = np.concatenate(chunks) if chunks else np.zeros((0,), np.float32)
     if pool.size:
         lo, hi = np.percentile(
@@ -164,8 +177,14 @@ def _hr_host_stats_quantize(hr_v, hr_valid, counts):
         )
     else:
         lo, hi = 0.0, 1.0
-    v01 = np.clip((hr_v - lo) / (hi - lo + 1e-8), 0.0, 1.0)
-    return (v01 * 65535.0).astype(np.uint16), float(lo), float(hi)
+    return float(lo), float(hi)
+
+
+def _quantize_hr(hr_v_c, lo: float, hi: float) -> np.ndarray:
+    """One candidate's stretched HR slice -> u16 (runs in the writer pool;
+    numpy ufuncs drop the GIL so this overlaps the file IO)."""
+    v01 = np.clip((hr_v_c - lo) / (hi - lo + 1e-8), 0.0, 1.0)
+    return (v01 * 65535.0).astype(np.uint16)
 
 
 class _WriterPool:
@@ -192,16 +211,21 @@ class _WriterPool:
         self._pool.shutdown()
 
 
-def _write_pair_fits(pd: Path, hr_f32, lr_f32, hdr_h, hdr_l) -> None:
+def _write_pair_fits(pd: Path, hr, lr, hdr_h, hdr_l) -> None:
+    # f32 casts run here, in the pool thread, not on the dispatch thread
     pd.mkdir(exist_ok=True)
-    write_fits(pd / "hubble.fits", hr_f32, hdr_h)
-    write_fits(pd / "observatory.fits", lr_f32, hdr_l)
+    write_fits(pd / "hubble.fits", np.asarray(hr, np.float32), hdr_h)
+    write_fits(pd / "observatory.fits", np.asarray(lr, np.float32), hdr_l)
 
 
 def _write_pair_tiff(rd: Path, hr_u16, lr_u16) -> None:
     rd.mkdir(exist_ok=True)
     write_tiff_u16(rd / "hubble.tiff", hr_u16)
     write_tiff_u16(rd / "observatory.tiff", lr_u16)
+
+
+def _quantize_write_pair_tiff(rd: Path, hr_v_c, lo, hi, lr_u16) -> None:
+    _write_pair_tiff(rd, _quantize_hr(hr_v_c, lo, hi), lr_u16)
 
 
 def fused_prep_target(
@@ -332,18 +356,19 @@ def fused_prep_target(
             if write_fits_pairs:
                 pool.submit(
                     _write_pair_fits, pairs_dir / name,
-                    hr_stack[ci].astype(np.float32),
-                    lr_raw[ci].astype(np.float32),
+                    hr_stack[ci], lr_raw[ci],
                     pw.to_header(), lrw.to_header(),
                 )
             idx += 1
         pair_names.append(names)
     counts = np.sum(keeps, axis=0)
-    hr_u16, hr_lo, hr_hi = _hr_host_stats_quantize(hr_v, hr_valid, counts)
+    hr_lo, hr_hi = _hr_host_stats(hr_v, hr_valid, counts)
     t_fits = time.perf_counter()
 
     # Quantized LR download (blocks until the stats program lands), then
-    # the TIFF writes stream through the same pool.
+    # the TIFF writes stream through the same pool — each task quantizes
+    # its HR slice in the pool thread (ufuncs drop the GIL) right before
+    # writing, so the 169x512² stretch never runs as a serial pass.
     lr_u16_all = np.asarray(lr_u16_dev)
     lr_lo, lr_hi = float(lr_lo_dev), float(lr_hi_dev)
     log(
@@ -358,13 +383,16 @@ def fused_prep_target(
         for ci, name in enumerate(pair_names[fi]):
             if name is None:
                 continue
-            pool.submit(_write_pair_tiff, ready_dir / name, hr_u16[ci], lr_u16[ci])
+            pool.submit(
+                _quantize_write_pair_tiff, ready_dir / name,
+                hr_v[ci], hr_lo, hr_hi, lr_u16[ci],
+            )
     pool.drain()
     t_end = time.perf_counter()
     log(
         f"[fused-prep] wrote {idx} pairs in {t_end - t0:.2f}s "
         f"(hr-host {t_hr - t0:.2f}s, dispatches {t_p1 - t_hr:.2f}s, "
-        f"fits-enqueue+hr-quant {t_fits - t_p1:.2f}s, "
-        f"lr-download {t_p2 - t_fits:.2f}s, tiff+drain {t_end - t_p2:.2f}s)"
+        f"fits-enqueue+hr-stats {t_fits - t_p1:.2f}s, "
+        f"lr-download {t_p2 - t_fits:.2f}s, tiff-quant+drain {t_end - t_p2:.2f}s)"
     )
     return idx
