@@ -74,6 +74,15 @@ def main() -> None:
              "it XLA needs 15.94G of 15.75G HBM)",
     )
     p.add_argument(
+        "--remat-loss", action="store_true",
+        help="train mode: jax.checkpoint the G-phase loss tail (D pair + "
+             "VGG) — recompute those cheap 512^2 forwards in the backward "
+             "instead of stashing them, freeing the HBM that blocks "
+             "micro-batch >= 4 at full size (un-rematted micro-4 needs "
+             "17.96G of 15.75G; phases run ~2.5x faster per patch at "
+             "micro 8 than micro 1)",
+    )
+    p.add_argument(
         "--fused-hab", action="store_true",
         help="hat train mode: route every HAB window core AND each RHAG's "
              "OCAB tail through the custom-VJP Pallas kernels "
@@ -278,7 +287,10 @@ def bench_train(args) -> None:
             pixel_weight=1.0, perceptual_weight=0.5, adversarial_weight=0.005,
             vgg_apply=vgg_apply,
         )
-        step = make_swin_train_step(bundle, accum_steps=accum, criterion_g=crit)
+        step = make_swin_train_step(
+            bundle, accum_steps=accum, criterion_g=crit,
+            remat_loss=args.remat_loss,
+        )
         run = lambda s, b: step(s, b, 1e-4, 1e-4)
         metric = "swinir_gan_train_patches_per_sec_per_chip"
     else:
@@ -293,13 +305,18 @@ def bench_train(args) -> None:
             pixel_weight=1.0, perceptual_weight=1.0, adversarial_weight=0.005,
             vgg_apply=vgg_apply,
         )
-        step = make_hat_train_step(bundle, accum_steps=accum, criterion_g=crit)
+        step = make_hat_train_step(
+            bundle, accum_steps=accum, criterion_g=crit,
+            remat_loss=args.remat_loss,
+        )
         run = lambda s, b: step(s, b, 1e-4, 1e-4, warmup=False)
         metric = "hat_gan_train_patches_per_sec_per_chip"
     if args.no_vgg:
         metric += "_novgg"
     if args.remat:
         metric += "_remat"
+    if args.remat_loss:
+        metric += "_rematloss"
     if args.arch == "hat" and args.fused_hab:
         metric += "_fusedhab"
 

@@ -152,6 +152,7 @@ def cmd_train(args) -> None:
         use_bf16=args.bf16,
         attn_impl=args.attn_impl,
         remat=args.remat,
+        remat_loss=args.remat_loss,
         use_vgg=not args.no_vgg,
         vgg_weights=args.vgg_weights,
         seed=args.seed,
@@ -169,6 +170,8 @@ def cmd_train(args) -> None:
         cfg = SwinTrainConfig(**common)
         if args.batch_size:
             cfg.batch_size = args.batch_size
+        if args.accum_steps:
+            cfg.accum_steps = args.accum_steps
         if args.fused is not None:
             cfg.fused = args.fused == "on"
         train_swin_run(cfg, resume=not args.no_resume)
@@ -176,6 +179,8 @@ def cmd_train(args) -> None:
         cfg = HATTrainConfig(**common)
         if args.batch_size:
             cfg.batch_size = args.batch_size
+        if args.accum_steps:
+            cfg.accum_steps = args.accum_steps
         if args.fused is not None:
             cfg.fused = args.fused == "on"
         cfg.pretrained_hat = args.pretrained_hat
@@ -187,6 +192,11 @@ def cmd_infer(args) -> None:
 
     if args.folder:
         folder = args.folder
+        # bare run names (the interactive picker's vocabulary, and what the
+        # reference's infer_swin.py:159-183 prompt accepts) resolve against
+        # --outputs-root; explicit paths pass through untouched
+        if not Path(folder).is_dir() and (Path(args.outputs_root) / folder).is_dir():
+            folder = str(Path(args.outputs_root) / folder)
     else:
         runs = sorted(str(p) for p in Path(args.outputs_root).glob("*") if p.is_dir())
         folder = _pick_from(runs, "run folders")[0]
@@ -194,6 +204,8 @@ def cmd_infer(args) -> None:
         folder,
         args.arch,
         data_root=args.data_root,
+        lr_size=args.lr_size,
+        hr_size=args.hr_size,
         limit=args.limit,
         manifest=args.manifest,
         impl=args.impl,
@@ -294,6 +306,14 @@ def main(argv=None) -> None:
     pt.add_argument("--batch-size", type=int, default=None)
     pt.add_argument("--bf16", action="store_true")
     pt.add_argument("--remat", action="store_true", help="checkpoint blocks (less memory, more compute)")
+    pt.add_argument(
+        "--remat-loss", action="store_true",
+        help="checkpoint both loss phases (D pair + VGG) so only generator "
+             "residuals peak in HBM; enables micro-batch >= 4 at full size "
+             "(algebra-identical, train/steps.py)",
+    )
+    pt.add_argument("--accum-steps", type=int, default=None,
+                    help="gradient-accumulation micro-steps per optimizer step")
     pt.add_argument("--attn-impl", choices=["xla", "pallas"], default=None)
     pt.add_argument(
         "--fused", choices=["on", "off"], default=None,
@@ -321,6 +341,10 @@ def main(argv=None) -> None:
     pi.add_argument("--data-root", default="data")
     pi.add_argument("--outputs-root", default="outputs")
     pi.add_argument("--limit", type=int, default=None)
+    pi.add_argument("--lr-size", type=int, default=128,
+                    help="LR patch size of the dataset (reference: 128)")
+    pi.add_argument("--hr-size", type=int, default=512,
+                    help="HR patch size of the dataset (reference: 512)")
     pi.add_argument("--manifest", default=None)
     pi.add_argument("--impl", choices=["fused"], default=None,
                     help="'fused' = VMEM Pallas kernels, bf16 (swin whole-block "

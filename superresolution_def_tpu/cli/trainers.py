@@ -86,6 +86,9 @@ class SwinTrainConfig:
     # need interpret mode).
     fused: bool | None = None
     remat: bool = False
+    # checkpoint both loss phases (D pair + VGG) so only generator residuals
+    # peak in HBM — enables micro-batch >= 4 at full size (train/steps.py)
+    remat_loss: bool = False
     use_vgg: bool = True
     vgg_weights: str | None = None  # npz of flax params; None -> seeded init
     seed: int = 0
@@ -133,6 +136,9 @@ class HATTrainConfig:
     # multi-device meshes run the fused generator per-shard under shard_map
     fused: bool | None = None
     remat: bool = False
+    # checkpoint both loss phases (D pair + VGG) so only generator residuals
+    # peak in HBM — enables micro-batch >= 4 at full size (train/steps.py)
+    remat_loss: bool = False
     use_vgg: bool = True
     vgg_weights: str | None = None
     pretrained_hat: str | None = None  # HAT-only .pth/orbax to seed the backbone
@@ -261,7 +267,7 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
     )
     step = make_swin_train_step(
         bundle, accum_steps=cfg.accum_steps, criterion_g=criterion_g,
-        ema_decay=cfg.ema_decay,
+        ema_decay=cfg.ema_decay, remat_loss=cfg.remat_loss,
     )
     eval_step = make_eval_step(bundle.g_apply, use_ema=True)
 
@@ -397,7 +403,8 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
         vgg_apply=_load_vgg(cfg),
     )
     step = make_hat_train_step(
-        bundle, accum_steps=cfg.accum_steps, criterion_g=criterion_g
+        bundle, accum_steps=cfg.accum_steps, criterion_g=criterion_g,
+        remat_loss=cfg.remat_loss,
     )
 
     if cfg.pretrained_hat:

@@ -10,6 +10,14 @@ upsampling, ADDITIVE skips.
 
 ``update_stats`` mirrors torch train/eval: every training forward advances
 the spectral power iteration (stored in the ``spectral`` collection).
+
+Stage outputs are tagged with ``checkpoint_name(. , "d_stage")`` so a
+``jax.checkpoint(policy=save_only_these_names("d_stage", ...))`` wrapper
+(train/steps.py remat_loss) keeps only these ~boundary tensors and
+recomputes each stage's interior (pre-activation leaky-relu masks, conv
+temps) during the backward — the interior is what OOMs a 16G chip at
+micro-batch 4 (PERF.md round-4). Outside a checkpoint the tags are
+identity no-ops.
 """
 
 from __future__ import annotations
@@ -18,6 +26,7 @@ from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.resize import interpolate_bilinear
 from .layers import Conv2d, leaky_relu
@@ -39,18 +48,19 @@ class UNetDiscriminatorSNSwin(nn.Module):
             f, k, s, p, use_bias=False, transpose=tr, dtype=self.dtype, name=name
         )
 
+        ck = lambda t: checkpoint_name(t, "d_stage")  # noqa: E731
         x0 = lr(sn(nf, 3, 1, 1, "conv0_0")(x, update_stats))
-        x0 = lr(sn(nf, 4, 2, 1, "conv0_1")(x0, update_stats))
-        x1 = lr(sn(nf * 2, 4, 2, 1, "conv1")(x0, update_stats))
-        x2 = lr(sn(nf * 4, 4, 2, 1, "conv2")(x1, update_stats))
-        x3 = lr(sn(nf * 8, 4, 2, 1, "conv3")(x2, update_stats))
-        x4 = lr(sn(nf * 8, 4, 2, 1, "conv4")(x3, update_stats))
+        x0 = ck(lr(sn(nf, 4, 2, 1, "conv0_1")(x0, update_stats)))
+        x1 = ck(lr(sn(nf * 2, 4, 2, 1, "conv1")(x0, update_stats)))
+        x2 = ck(lr(sn(nf * 4, 4, 2, 1, "conv2")(x1, update_stats)))
+        x3 = ck(lr(sn(nf * 8, 4, 2, 1, "conv3")(x2, update_stats)))
+        x4 = ck(lr(sn(nf * 8, 4, 2, 1, "conv4")(x3, update_stats)))
 
         def up(feat, skip, features, name):
             y = lr(sn(features, 4, 2, 1, name, tr=True)(feat, update_stats))
             if y.shape[1:3] != skip.shape[1:3]:
                 y = interpolate_bilinear(y, skip.shape[1:3], align_corners=True)
-            return jnp.concatenate([y, skip], axis=-1)
+            return ck(jnp.concatenate([y, skip], axis=-1))
 
         d1 = up(x4, x3, nf * 8, "up1")
         d2 = up(d1, x2, nf * 4, "up2")
@@ -76,25 +86,29 @@ class UNetDiscriminatorSNHAT(nn.Module):
             f, k, s, p, use_bias=False, dtype=self.dtype, name=name
         )
 
-        x0 = lr(Conv2d(nf, 3, 1, 1, dtype=self.dtype, name="conv0")(x))
-        x1 = lr(sn(nf * 2, 4, 2, 1, "conv1")(x0, update_stats))
-        x2 = lr(sn(nf * 4, 4, 2, 1, "conv2")(x1, update_stats))
-        x3 = lr(sn(nf * 8, 4, 2, 1, "conv3")(x2, update_stats))
+        ck = lambda t: checkpoint_name(t, "d_stage")  # noqa: E731
+        x0 = ck(lr(Conv2d(nf, 3, 1, 1, dtype=self.dtype, name="conv0")(x)))
+        x1 = ck(lr(sn(nf * 2, 4, 2, 1, "conv1")(x0, update_stats)))
+        x2 = ck(lr(sn(nf * 4, 4, 2, 1, "conv2")(x1, update_stats)))
+        x3 = ck(lr(sn(nf * 8, 4, 2, 1, "conv3")(x2, update_stats)))
 
         x3u = interpolate_bilinear(x3, (x3.shape[1] * 2, x3.shape[2] * 2), align_corners=False)
         x4 = lr(sn(nf * 4, 3, 1, 1, "conv4")(x3u, update_stats))
         if self.skip_connection:
             x4 = x4 + x2
+        x4 = ck(x4)
         x4u = interpolate_bilinear(x4, (x4.shape[1] * 2, x4.shape[2] * 2), align_corners=False)
         x5 = lr(sn(nf * 2, 3, 1, 1, "conv5")(x4u, update_stats))
         if self.skip_connection:
             x5 = x5 + x1
+        x5 = ck(x5)
         x5u = interpolate_bilinear(x5, (x5.shape[1] * 2, x5.shape[2] * 2), align_corners=False)
         x6 = lr(sn(nf, 3, 1, 1, "conv6")(x5u, update_stats))
         if self.skip_connection:
             x6 = x6 + x0
+        x6 = ck(x6)
 
-        out = lr(sn(nf, 3, 1, 1, "conv7")(x6, update_stats))
+        out = ck(lr(sn(nf, 3, 1, 1, "conv7")(x6, update_stats)))
         out = lr(sn(nf, 3, 1, 1, "conv8")(out, update_stats))
         out = Conv2d(1, 3, 1, 1, dtype=self.dtype, name="conv9")(out)
         return out

@@ -46,6 +46,17 @@ from .state import GANTrainState, GANBundle
 
 Tree = Any
 
+# remat_loss policy: keep only the tagged stage boundaries (discriminators'
+# "d_stage", VGG's "vgg_block") across the loss-tail backward; recompute each
+# segment's interior from its boundary. A bare jax.checkpoint (save nothing)
+# does NOT lower the peak here — the tail's forward and backward are adjacent,
+# so the whole recomputed U-Net would be live at once (measured: 19.17G at
+# micro 4 vs 17.96G un-rematted); per-segment boundaries are what let XLA
+# free one segment before recomputing the next.
+_LOSS_TAIL_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "d_stage", "vgg_block"
+)
+
 
 def _tree_zeros_like(t: Tree) -> Tree:
     return jax.tree_util.tree_map(jnp.zeros_like, t)
@@ -88,8 +99,21 @@ def make_swin_train_step(
     criterion_g: CombinedGANLoss | None = None,
     criterion_d: DiscriminatorLoss | None = None,
     ema_decay: float = EMA_DECAY,
+    remat_loss: bool = False,
 ):
-    """SwinIR-GAN step. Batch: {'lr','hr'} uint16 (accum, B, H, W, 1)."""
+    """SwinIR-GAN step. Batch: {'lr','hr'} uint16 (accum, B, H, W, 1).
+
+    ``remat_loss`` wraps BOTH loss phases' tails in ``jax.checkpoint``: the
+    G-phase tail (D pair + the VGG perceptual term downstream of sr) and
+    the D-phase loss (two more D forwards, differentiated wrt d_params).
+    Their 512^2 activations — dominated by the UNet-D's leaky-relu
+    residuals, ~260M per select at micro 4 — are recomputed during the
+    backward instead of stashed, so the HBM peak drops to the generator's
+    own residuals. The algebra is unchanged (recompute is bit-identical,
+    tests/test_train_steps.py); the cost is re-running the cheap D/VGG
+    forwards once each in the backward. Enables larger micro-batches
+    (better MXU fill) on a 16G chip.
+    """
     criterion_g = criterion_g or CombinedGANLoss(
         pixel_weight=1.0, perceptual_weight=0.5, adversarial_weight=0.005
     )
@@ -120,6 +144,8 @@ def make_swin_train_step(
                 loss, _ = criterion_d(d_real, d_fake)
                 return loss / accum_steps, spec
 
+            if remat_loss:
+                d_loss_fn = jax.checkpoint(d_loss_fn, policy=_LOSS_TAIL_POLICY)
             (d_loss, spec1), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 d_params, spectral
             )
@@ -135,6 +161,8 @@ def make_swin_train_step(
                 )
                 return loss / accum_steps, spec
 
+            if remat_loss:
+                g_rest_fn = jax.checkpoint(g_rest_fn, policy=_LOSS_TAIL_POLICY)
             (g_loss, spec2), sr_grad = jax.value_and_grad(g_rest_fn, has_aux=True)(
                 sr, spec1
             )
@@ -205,11 +233,20 @@ def make_hat_train_step(
     criterion_g: CombinedGANLoss | None = None,
     criterion_d: DiscriminatorLoss | None = None,
     ema_decay: float = EMA_DECAY,
+    remat_loss: bool = False,
 ):
     """Hybrid-HAT step; returns a step(state, batch, lr_g, lr_d, warmup).
 
     ``warmup`` is a static python bool (epochs <= 30 run L1-only,
     train_hat.py:236-244) — two compiled specializations.
+
+    ``remat_loss``: see make_swin_train_step — checkpoints the G-phase loss
+    tail (D pair + VGG) AND the D phase so only the generator's own
+    residuals occupy HBM at the peak, enabling micro-batch 4/8 at full size
+    on a 16G chip (the un-rematted micro-4 step needs 17.96G; with G-tail
+    remat alone it needs 19.17G — the UNet-D stash is the binding term; the
+    phases run ~2.5x faster per patch at micro 8 than micro 1, PERF.md
+    round-4 attribution).
     """
     criterion_g = criterion_g or CombinedGANLoss(
         pixel_weight=1.0, perceptual_weight=1.0, adversarial_weight=0.005
@@ -257,6 +294,9 @@ def make_hat_train_step(
                     )
                     return loss / accum_steps, (spec, parts["adversarial"])
 
+                if remat_loss:
+                    g_rest_fn = jax.checkpoint(g_rest_fn, policy=_LOSS_TAIL_POLICY)
+
             (g_loss, (spec1, g_adv)), sr_grad = jax.value_and_grad(
                 g_rest_fn, has_aux=True
             )(sr, spectral)
@@ -275,6 +315,8 @@ def make_hat_train_step(
                     loss, _ = criterion_d(d_real, d_fake)
                     return loss / accum_steps, spec
 
+                if remat_loss:
+                    d_loss_fn = jax.checkpoint(d_loss_fn, policy=_LOSS_TAIL_POLICY)
                 (d_loss, spectral), d_grads = jax.value_and_grad(
                     d_loss_fn, has_aux=True
                 )(d_params, spec1)

@@ -71,6 +71,12 @@ class VGG19Features(nn.Module):
                 x = jax.nn.relu(x)
             else:  # maxpool 2x2 stride 2
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                # block boundary for segment-wise remat: under a
+                # jax.checkpoint(policy=save_only_these_names(...,"vgg_block"))
+                # wrapper (train/steps.py remat_loss) only these 5 pooled
+                # tensors are kept; each block's interior is recomputed in
+                # the backward. Identity outside a checkpoint.
+                x = jax.ad_checkpoint.checkpoint_name(x, "vgg_block")
         return x
 
 

@@ -96,6 +96,43 @@ def test_hat_train_step_warmup_and_gan():
     assert _tree_l2_diff(gan_state.spectral, warm_state.spectral) > 0
 
 
+@pytest.mark.parametrize("arch", ["swin", "hat"])
+def test_remat_loss_is_algebra_preserving(arch):
+    """remat_loss=True must produce the SAME step as remat_loss=False.
+
+    jax.checkpoint only changes WHEN the loss-tail activations exist
+    (recomputed in the backward instead of stashed) — on the CPU fp32 path
+    the recompute is deterministic, so params/metrics must match exactly."""
+    if arch == "swin":
+        state, bundle = create_swin_train_state(
+            jax.random.PRNGKey(0), img_size=16, upscale=4, embed_dim=16,
+            depths=(2,), num_heads=(2,), window_size=8,
+        )
+        make = lambda **kw: make_swin_train_step(bundle, accum_steps=2, **kw)
+        run = lambda step, s, b: step(s, b, 1e-4, 1e-4)
+    else:
+        state, bundle = create_hat_train_state(
+            jax.random.PRNGKey(0), img_size=16, embed_dim=16, depths=(1,),
+            num_heads=(2,), window_size=8, num_rrdb=1, num_feat=16,
+            num_grow_ch=8,
+        )
+        make = lambda **kw: make_hat_train_step(bundle, accum_steps=2, **kw)
+        run = lambda step, s, b: step(s, b, 1e-4, 1e-4, warmup=False)
+
+    batch = _batch(2, 1, 16, 64)
+    s_ref, m_ref = run(make(remat_loss=False), state, batch)
+    s_rm, m_rm = run(make(remat_loss=True), state, batch)
+
+    for k in m_ref:
+        np.testing.assert_allclose(
+            np.asarray(m_ref[k]), np.asarray(m_rm[k]), rtol=1e-6, atol=1e-7,
+            err_msg=f"metric {k}",
+        )
+    assert _tree_l2_diff(s_ref.g_params, s_rm.g_params) <= 1e-12
+    assert _tree_l2_diff(s_ref.d_params, s_rm.d_params) <= 1e-12
+    assert _tree_l2_diff(s_ref.spectral, s_rm.spectral) <= 1e-12
+
+
 def test_eval_step_psnr_perfect_match():
     state, bundle = create_swin_train_state(
         jax.random.PRNGKey(0),
