@@ -56,11 +56,37 @@ def wait_for_async_saves() -> None:
         _async_ckptr.wait_until_finished()
 
 
-def restore_pytree(path: str | Path, target: Any = None) -> Any:
+def restore_pytree(path: str | Path, target: Any = None, *, host: bool = False) -> Any:
+    """Restore a checkpoint pytree.
+
+    ``host=True`` restores every leaf as ``np.ndarray`` — tensorstore reads
+    the bytes straight into host memory, no device anywhere. Use it for
+    inspection paths (shape sniffing, weight porting, ``load_generator``):
+    the default restore re-creates each leaf with the sharding recorded in
+    the checkpoint (i.e. on the accelerator — ``jax.default_device`` does
+    NOT override it), so the first ``np.asarray`` pulls the whole tree back
+    through the device; over a remote-device tunnel that round-trip can
+    stall outright. Compute paths that jit over the params don't need
+    ``host=True``; jit stages host arrays onto the device once.
+    """
+    path = Path(path).resolve()
     ckptr = ocp.PyTreeCheckpointer()
+    if host:
+        import numpy as np
+
+        tree = target
+        if tree is None:
+            im = ckptr.metadata(path).item_metadata
+            tree = im.tree if hasattr(im, "tree") else im
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        if target is not None:
+            return ckptr.restore(path, item=target, restore_args=restore_args)
+        return ckptr.restore(path, restore_args=restore_args)
     if target is not None:
-        return ckptr.restore(Path(path).resolve(), item=target)
-    return ckptr.restore(Path(path).resolve())
+        return ckptr.restore(path, item=target)
+    return ckptr.restore(path)
 
 
 class CheckpointManager:

@@ -77,7 +77,10 @@ def load_generator(folder: str | Path, arch: str):
 
     for cand in _orbax_candidates(folder, arch):
         try:
-            raw = restore_pytree(cand)
+            # host=True: shape sniffing + preview math happen on host; don't
+            # bounce the whole checkpoint through the device (the remote-TPU
+            # tunnel can stall on device->host fetches, STATUS.md gotchas)
+            raw = restore_pytree(cand, host=True)
         except Exception:
             continue
         if isinstance(raw, dict) and "params" in raw:

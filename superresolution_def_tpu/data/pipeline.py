@@ -172,23 +172,32 @@ class DataIterator:
         stop = threading.Event()
 
         def produce():
-            if self.ds.use_native:
-                for b in range(nb):
-                    if stop.is_set():
-                        break
-                    chunk = idxs[b * self.batch : (b + 1) * self.batch]
-                    out_q.put(self.ds.read_batch(chunk, nthreads=self.num_threads))
-            else:
-                with ThreadPoolExecutor(self.num_threads) as pool:
+            # Any exception (e.g. every substitution candidate unreadable,
+            # PatchDataset.__getitem__'s 8-try ladder exhausted) is shipped
+            # to the consumer and re-raised there — unconditionally ending
+            # with a sentinel, or the consumer's blocking get() would
+            # deadlock on a dead producer.
+            try:
+                if self.ds.use_native:
                     for b in range(nb):
                         if stop.is_set():
                             break
                         chunk = idxs[b * self.batch : (b + 1) * self.batch]
-                        items = list(pool.map(self.ds.__getitem__, chunk))
-                        out_q.put(
-                            {k: np.stack([it[k] for it in items]) for k in ("lr", "hr")}
-                        )
-            out_q.put(None)
+                        out_q.put(self.ds.read_batch(chunk, nthreads=self.num_threads))
+                else:
+                    with ThreadPoolExecutor(self.num_threads) as pool:
+                        for b in range(nb):
+                            if stop.is_set():
+                                break
+                            chunk = idxs[b * self.batch : (b + 1) * self.batch]
+                            items = list(pool.map(self.ds.__getitem__, chunk))
+                            out_q.put(
+                                {k: np.stack([it[k] for it in items]) for k in ("lr", "hr")}
+                            )
+            except BaseException as e:  # noqa: BLE001 — relayed, not swallowed
+                out_q.put(e)
+            finally:
+                out_q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -199,6 +208,8 @@ class DataIterator:
                     item = out_q.get()
                     if item is None:
                         break
+                    if isinstance(item, BaseException):
+                        raise item
                     yield item
             finally:
                 stop.set()

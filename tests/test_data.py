@@ -129,6 +129,33 @@ def test_corrupt_file_substitution(tmp_path):
         PatchDataset([bad], lr_size=16, hr_size=64, strict=True)[0]
 
 
+def test_iterator_propagates_reader_errors(tmp_path):
+    """A persistently-unreadable dataset must RAISE from the iterator, not
+    deadlock it. Regression: the prefetch producer died on the exhausted
+    8-try substitution ladder without posting its sentinel, leaving the
+    consumer blocked on out_q.get() forever (found via a wrong-size dataset
+    in the round-4 verify drive)."""
+    entries = _make_pairs(tmp_path, n=4)
+    # every file is 64px HR; ask for 512 -> all reads fail, substitution
+    # ladder can never succeed
+    ds = PatchDataset(entries, lr_size=128, hr_size=512)
+    it = DataIterator(ds, batch_size=2, shuffle=False)
+    with pytest.raises(Exception):
+        next(iter(it.epoch(0)))
+
+
+def test_restore_pytree_host_returns_numpy(tmp_path):
+    """host=True restores leaves as np.ndarray (no device round-trip)."""
+    from superresolution_def_tpu.ckpt import save_pytree, restore_pytree
+
+    tree = {"params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}}
+    save_pytree(tmp_path / "ck", tree)
+    out = restore_pytree(tmp_path / "ck", host=True)
+    leaves = jax.tree_util.tree_leaves(out)
+    assert all(isinstance(l, np.ndarray) for l in leaves)
+    np.testing.assert_allclose(out["params"]["w"], np.arange(6.0).reshape(2, 3))
+
+
 def test_augment_pairs_consistent():
     key = jax.random.PRNGKey(3)
     rng = np.random.default_rng(1)
