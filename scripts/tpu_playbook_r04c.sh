@@ -49,4 +49,15 @@ run bench3_b8a1_rematloss 3600 python bench.py --arch swin --mode train --batch 
 # does swin micro 4 even need the remat? (isolates remat cost from fill gain)
 run bench3_b4a2 3600 python bench.py --arch swin --mode train --batch 4 --accum 2 --iters 10
 
+# 4. fallbacks if micro-4/8 still exceed HBM with remat-loss + state
+#    donation: add nn.remat over the HAT groups (--remat). The fill gain at
+#    micro 8 (phases run 11.32 p/s) can absorb the recompute cost that made
+#    micro-4 full-remat lose at 4.771.
+if [ -e "$PB/bench4_b4a4_rematloss.FAIL" ]; then
+  run bench4_b4a4_rematloss_remat 4800 python bench.py --arch hat --mode train --batch 4 --accum 4 --remat-loss --remat --iters 10
+fi
+if [ -e "$PB/bench4_b8a2_rematloss.FAIL" ]; then
+  run bench4_b8a2_rematloss_remat 4800 python bench.py --arch hat --mode train --batch 8 --accum 2 --remat-loss --remat --iters 10
+fi
+
 echo "PLAYBOOK_R04C COMPLETE $(date +%H:%M:%S)"

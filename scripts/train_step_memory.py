@@ -27,7 +27,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--no-vgg", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat-loss", action="store_true",
+                   help="checkpoint the loss tails (train/steps.py remat_loss)")
     p.add_argument("--arch", default="swin", choices=["swin", "hat"])
+    p.add_argument("--batch", type=int, default=None, help="micro-batch size")
+    p.add_argument("--accum", type=int, default=None, help="accumulation steps")
+    p.add_argument("--impl", default="fused", choices=["fused", "xla"],
+                   help="generator impl — 'fused' matches bench.py's default "
+                        "(the shipped config); 'xla' is the flax path whose "
+                        "backward stashes trunk activations")
     args = p.parse_args()
 
     import jax
@@ -51,27 +59,35 @@ def main():
         vgg_apply = lambda x: vgg_model.apply({"params": vgg_params}, x)  # noqa: E731
 
     if args.arch == "swin":
-        accum, micro = 4, 2
+        accum, micro = args.accum or 4, args.batch or 2
         state, bundle = create_swin_train_state(
-            jax.random.PRNGKey(0), img_size=128, dtype=dtype, remat=args.remat
+            jax.random.PRNGKey(0), img_size=128, dtype=dtype, remat=args.remat,
+            fused=(args.impl == "fused"),
         )
         crit = CombinedGANLoss(
             pixel_weight=1.0, perceptual_weight=0.5, adversarial_weight=0.005,
             vgg_apply=vgg_apply,
         )
-        step = make_swin_train_step(bundle, accum_steps=accum, criterion_g=crit)
-        call = lambda s, b: step(s, b, 1e-4, 1e-4)  # noqa: E731
+        step = make_swin_train_step(
+            bundle, accum_steps=accum, criterion_g=crit,
+            remat_loss=args.remat_loss,
+        )
+        lower = lambda s, b: step.lower(s, b, 1e-4, 1e-4)  # noqa: E731
     else:
-        accum, micro = 16, 1
+        accum, micro = args.accum or 16, args.batch or 1
         state, bundle = create_hat_train_state(
-            jax.random.PRNGKey(0), img_size=128, dtype=dtype, remat=args.remat
+            jax.random.PRNGKey(0), img_size=128, dtype=dtype, remat=args.remat,
+            fused=(args.impl == "fused"),
         )
         crit = CombinedGANLoss(
             pixel_weight=1.0, perceptual_weight=1.0, adversarial_weight=0.005,
             vgg_apply=vgg_apply,
         )
-        step = make_hat_train_step(bundle, accum_steps=accum, criterion_g=crit)
-        call = lambda s, b: step(s, b, 1e-4, 1e-4, warmup=False)  # noqa: E731
+        step = make_hat_train_step(
+            bundle, accum_steps=accum, criterion_g=crit,
+            remat_loss=args.remat_loss,
+        )
+        lower = lambda s, b: step.lower(s, b, 1e-4, 1e-4, warmup=False)  # noqa: E731
 
     rng = np.random.default_rng(0)
     batch = {
@@ -79,10 +95,12 @@ def main():
         "hr": rng.integers(0, 65535, (accum, micro, 512, 512, 1), dtype=np.uint16),
     }
 
-    lowered = jax.jit(call).lower(state, batch)
+    # lower the step itself: re-wrapping the jitted step in another jit
+    # would drop its donate_argnums and overstate the peak by a full state
+    lowered = lower(state, batch)
     compiled = lowered.compile()
     ma = compiled.memory_analysis()
-    print(f"arch={args.arch} vgg={not args.no_vgg} remat={args.remat}")
+    print(f"arch={args.arch} impl={args.impl} vgg={not args.no_vgg} remat={args.remat} remat_loss={args.remat_loss} micro={micro} accum={accum}")
     if ma is not None:
         for k in (
             "temp_size_in_bytes",

@@ -411,7 +411,11 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
         state = state.replace(
             g_params=_load_pretrained_hat(cfg.pretrained_hat, state.g_params, cfg)
         )
-        state = state.replace(ema=state.g_params)
+        # copy, not alias: donated steps reject states whose leaves share
+        # buffers (train/ema.py ema_init has the same rule)
+        state = state.replace(
+            ema=jax.tree_util.tree_map(jnp.array, state.g_params)
+        )
         if master:
             print(f"Seeded HAT backbone from {cfg.pretrained_hat}")
 

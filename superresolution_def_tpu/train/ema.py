@@ -10,12 +10,16 @@ keeps a frozen EMA twin saved as best_hybrid_model_EMA.pth.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 EMA_DECAY = 0.999
 
 
 def ema_init(params):
-    return jax.tree_util.tree_map(lambda p: p, params)
+    # materialize a COPY, not an alias: the train steps donate the whole
+    # state (jit donate_argnums), and two pytree leaves sharing one buffer
+    # make donation reject the call ("donate the same buffer twice")
+    return jax.tree_util.tree_map(jnp.array, params)
 
 
 def ema_update(shadow, params, decay: float = EMA_DECAY):

@@ -100,8 +100,14 @@ def make_swin_train_step(
     criterion_d: DiscriminatorLoss | None = None,
     ema_decay: float = EMA_DECAY,
     remat_loss: bool = False,
+    donate: bool = True,
 ):
     """SwinIR-GAN step. Batch: {'lr','hr'} uint16 (accum, B, H, W, 1).
+
+    ``donate``: hand the input state's buffers to XLA (callers reassign
+    ``state = step(state, ...)``), halving the state's HBM footprint.
+    Pass False in tests that keep using the pre-step state (donated
+    buffers are deleted on every backend, including CPU).
 
     ``remat_loss`` wraps BOTH loss phases' tails in ``jax.checkpoint``: the
     G-phase tail (D pair + the VGG perceptual term downstream of sr) and
@@ -120,7 +126,11 @@ def make_swin_train_step(
     criterion_d = criterion_d or DiscriminatorLoss()
     g_apply, d_apply = bundle.g_apply, bundle.d_apply
 
-    @jax.jit
+    # donate the state: production callers reassign `state = step(state, ..)`,
+    # so XLA writes the new params/opt-moments/EMA in place instead of
+    # double-buffering the whole state (params + 2 adam moments per net +
+    # EMA) in HBM.
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: GANTrainState, batch, lr_g, lr_d):
         rng, step_key = jax.random.split(state.rng)
         mb_keys = jax.random.split(step_key, accum_steps)
@@ -234,8 +244,12 @@ def make_hat_train_step(
     criterion_d: DiscriminatorLoss | None = None,
     ema_decay: float = EMA_DECAY,
     remat_loss: bool = False,
+    donate: bool = True,
 ):
     """Hybrid-HAT step; returns a step(state, batch, lr_g, lr_d, warmup).
+
+    ``donate``: see make_swin_train_step — False for tests that reuse the
+    pre-step state.
 
     ``warmup`` is a static python bool (epochs <= 30 run L1-only,
     train_hat.py:236-244) — two compiled specializations.
@@ -254,7 +268,14 @@ def make_hat_train_step(
     criterion_d = criterion_d or DiscriminatorLoss()
     g_apply, d_apply = bundle.g_apply, bundle.d_apply
 
-    @functools.partial(jax.jit, static_argnames=("warmup",))
+    # state donated for the same reason as the swin step (callers reassign);
+    # NOTE donation is per-specialization — the warmup=True and warmup=False
+    # programs each donate their own input state, which is fine because a
+    # given epoch only runs one of them.
+    @functools.partial(
+        jax.jit, static_argnames=("warmup",),
+        donate_argnums=(0,) if donate else (),
+    )
     def step(state: GANTrainState, batch, lr_g, lr_d, warmup: bool = False):
         rng, step_key = jax.random.split(state.rng)
         mb_keys = jax.random.split(step_key, accum_steps)

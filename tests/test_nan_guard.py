@@ -39,7 +39,8 @@ def test_nan_d_loss_skips_everything():
         jax.random.PRNGKey(0), img_size=16, upscale=4, embed_dim=16,
         depths=(1,), num_heads=(2,), window_size=8,
     )
-    step = make_swin_train_step(bundle, accum_steps=2, criterion_d=NaNDLoss())
+    # donate=False: the assertions below read the PRE-step state
+    step = make_swin_train_step(bundle, accum_steps=2, criterion_d=NaNDLoss(), donate=False)
     new_state, m = step(state, _batch(2), 1e-4, 1e-4)
     assert float(m["valid_batches"]) == 0.0
     assert _l2(new_state.g_params, state.g_params) < 1e-12

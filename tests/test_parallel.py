@@ -42,7 +42,8 @@ def test_dp_step_runs_sharded_and_matches_single_device():
         num_heads=(2,),
         window_size=8,
     )
-    step = make_swin_train_step(bundle, accum_steps=2, augment=False)
+    # donate=False: `state` is stepped single-device AND replicated after
+    step = make_swin_train_step(bundle, accum_steps=2, augment=False, donate=False)
     batch = _batch(2, 8, 16, 64)
     lr = cosine_annealing_lr(1)
 

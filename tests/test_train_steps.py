@@ -41,7 +41,7 @@ def test_swin_train_step_updates_everything():
         num_heads=(2,),
         window_size=8,
     )
-    step = make_swin_train_step(bundle, accum_steps=2)
+    step = make_swin_train_step(bundle, accum_steps=2, donate=False)
     batch = _batch(2, 1, 16, 64)
     lr = cosine_annealing_lr(1)
     new_state, metrics = step(state, batch, lr, lr)
@@ -77,7 +77,7 @@ def test_hat_train_step_warmup_and_gan():
         num_feat=16,
         num_grow_ch=8,
     )
-    step = make_hat_train_step(bundle, accum_steps=2)
+    step = make_hat_train_step(bundle, accum_steps=2, donate=False)
     batch = _batch(2, 1, 16, 64)
     lr = cosine_annealing_lr(1)
 
@@ -108,7 +108,7 @@ def test_remat_loss_is_algebra_preserving(arch):
             jax.random.PRNGKey(0), img_size=16, upscale=4, embed_dim=16,
             depths=(2,), num_heads=(2,), window_size=8,
         )
-        make = lambda **kw: make_swin_train_step(bundle, accum_steps=2, **kw)
+        make = lambda **kw: make_swin_train_step(bundle, accum_steps=2, donate=False, **kw)
         run = lambda step, s, b: step(s, b, 1e-4, 1e-4)
     else:
         state, bundle = create_hat_train_state(
@@ -116,7 +116,7 @@ def test_remat_loss_is_algebra_preserving(arch):
             num_heads=(2,), window_size=8, num_rrdb=1, num_feat=16,
             num_grow_ch=8,
         )
-        make = lambda **kw: make_hat_train_step(bundle, accum_steps=2, **kw)
+        make = lambda **kw: make_hat_train_step(bundle, accum_steps=2, donate=False, **kw)
         run = lambda step, s, b: step(s, b, 1e-4, 1e-4, warmup=False)
 
     batch = _batch(2, 1, 16, 64)
