@@ -86,8 +86,14 @@ class UNetDiscriminatorSNHAT(nn.Module):
             f, k, s, p, use_bias=False, dtype=self.dtype, name=name
         )
 
+        # Boundary choice under remat_loss (save_only_these_names("d_stage")):
+        # the full-res (512²) tensors x0 and conv7-out are NOT tagged — each
+        # costs 134M bf16 per D forward (x2 forwards per phase) to stash and
+        # one cheap 3x3 conv to recompute from its neighbor boundary. With
+        # them tagged, the hat-train micro-4 step missed HBM by 306M
+        # (16.05G of 15.75G, scripts/train_step_memory.py).
         ck = lambda t: checkpoint_name(t, "d_stage")  # noqa: E731
-        x0 = ck(lr(Conv2d(nf, 3, 1, 1, dtype=self.dtype, name="conv0")(x)))
+        x0 = lr(Conv2d(nf, 3, 1, 1, dtype=self.dtype, name="conv0")(x))
         x1 = ck(lr(sn(nf * 2, 4, 2, 1, "conv1")(x0, update_stats)))
         x2 = ck(lr(sn(nf * 4, 4, 2, 1, "conv2")(x1, update_stats)))
         x3 = ck(lr(sn(nf * 8, 4, 2, 1, "conv3")(x2, update_stats)))
@@ -108,7 +114,7 @@ class UNetDiscriminatorSNHAT(nn.Module):
             x6 = x6 + x0
         x6 = ck(x6)
 
-        out = ck(lr(sn(nf, 3, 1, 1, "conv7")(x6, update_stats)))
+        out = lr(sn(nf, 3, 1, 1, "conv7")(x6, update_stats))
         out = lr(sn(nf, 3, 1, 1, "conv8")(out, update_stats))
         out = Conv2d(1, 3, 1, 1, dtype=self.dtype, name="conv9")(out)
         return out
