@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 
 from ..data import PatchDataset, DataIterator, merge_manifests
-from ..parallel import make_mesh, replicate, shard_batch, is_master
+from ..parallel import (
+    make_mesh, replicate, shard_batch, prefetch_to_mesh, is_master,
+)
 from ..train import (
     CombinedGANLoss,
     create_swin_train_state,
@@ -289,12 +291,21 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
         t0 = time.time()
         lr_g = cosine_annealing_lr(epoch, cfg.lr_g, cfg.epochs)
         lr_d = cosine_annealing_lr(epoch, cfg.lr_d, cfg.epochs)
-        g_sum = d_sum = valid = 0.0
-        for bi, batch in enumerate(it.epoch(epoch)):
+        # device-staged stream + deferred metric fetch: the H2D copy of
+        # batch i+1 overlaps step i, and no per-step scalar fetch forces a
+        # sync — the host dispatches ahead and syncs once per epoch
+        stream = prefetch_to_mesh(
+            it.epoch(epoch), mesh,
+            transform=lambda b: _reshape_accum(b, cfg.accum_steps, micro // pcount),
+        )
+        step_metrics = []
+        for bi, (_, b) in enumerate(stream):
             if cfg.max_steps_per_epoch and bi >= cfg.max_steps_per_epoch:
                 break
-            b = shard_batch(_reshape_accum(batch, cfg.accum_steps, micro // pcount), mesh)
             state, m = step(state, b, lr_g, lr_d)
+            step_metrics.append(m)
+        g_sum = d_sum = valid = 0.0
+        for m in jax.device_get(step_metrics):
             g_sum += float(m["loss_g"]) * float(m["valid_batches"])
             d_sum += float(m["loss_d"]) * float(m["valid_batches"])
             valid += float(m["valid_batches"])
@@ -443,16 +454,23 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
                 "psnr": 0.0, "ssim": 0.0, "count": 0.0}
         steps = 0
         last_batch = None
-        for bi, batch in enumerate(it.epoch(epoch)):
+        # device-staged stream + deferred metric fetch (see train_swin_run)
+        stream = prefetch_to_mesh(
+            it.epoch(epoch), mesh,
+            transform=lambda b: _reshape_accum(b, cfg.accum_steps, micro // pcount),
+        )
+        step_metrics = []
+        for bi, (batch, b) in enumerate(stream):
             if cfg.max_steps_per_epoch and bi >= cfg.max_steps_per_epoch:
                 break
-            b = shard_batch(_reshape_accum(batch, cfg.accum_steps, micro // pcount), mesh)
             state, m = step(state, b, lr_now, lr_d_now, warmup=warmup)
+            step_metrics.append(m)
+            last_batch = batch
+        for m in jax.device_get(step_metrics):
             sums["g"] += float(m["loss_g"]); sums["l1"] += float(m["l1"])
             sums["adv"] += float(m["g_adv"]); sums["d"] += float(m["loss_d"])
             sums["psnr"] += float(m["psnr_sum"]); sums["ssim"] += float(m["ssim_sum"])
             sums["count"] += float(m["count"]); steps += 1
-            last_batch = batch
         n = max(steps, 1)
         cnt = max(sums["count"], 1.0)
         last = {

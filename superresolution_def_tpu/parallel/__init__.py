@@ -5,6 +5,7 @@ from .mesh import (
     batch_sharding,
     replicated_sharding,
     sync_metrics,
+    prefetch_to_mesh,
 )
 from .dist import initialize_distributed, process_index, process_count, is_master
 from .spatial import make_spatial_swinir
@@ -17,6 +18,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "sync_metrics",
+    "prefetch_to_mesh",
     "initialize_distributed",
     "process_index",
     "process_count",

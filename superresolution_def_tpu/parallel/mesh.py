@@ -76,6 +76,68 @@ def shard_batch(batch: Mapping[str, np.ndarray], mesh: Mesh, batch_axis: int = 1
     return out
 
 
+def prefetch_to_mesh(batches, mesh: Mesh, transform=None, depth: int = 2,
+                     batch_axis: int = 1):
+    """Stage batches onto the mesh from a background thread, ``depth`` ahead.
+
+    Yields ``(host_batch, sharded_batch)`` pairs: the host->device copy of
+    batch i+1 overlaps the device compute of batch i, instead of serializing
+    transfer -> step -> transfer in the train loop. This is the TPU-native
+    analogue of the reference's ``pin_memory=True`` DataLoader + async CUDA
+    ``.to(device)`` copies (train_swin.py:142-145, train_hat.py:129-130);
+    over a slow host link (the axon tunnel moves ~33 MB/s) the staging cost
+    of an 8.9 MB uint16 window is ~270 ms/step if unoverlapped — measured as
+    part of config #4's 42.8% non-phase overhead (PERF.md round-4).
+
+    The host batch is passed through untouched (previews and shape checks
+    want numpy); ``transform`` (e.g. the accum reshape) applies before
+    sharding. Early exits from the consuming loop release the thread via
+    the generator's ``finally``.
+    """
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    _END = object()
+
+    def worker():
+        try:
+            for b in batches:
+                staged = transform(b) if transform is not None else b
+                staged = shard_batch(staged, mesh, batch_axis=batch_axis)
+                while not stop.is_set():
+                    try:
+                        q.put((b, staged), timeout=0.25)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_END)
+        except BaseException as e:  # surface loader errors in the main thread
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True, name="mesh-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a blocked worker can observe the stop flag and exit
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break
+
+
 def sync_metrics(metrics: dict) -> dict:
     """Sum metric scalars across hosts (multi-host only; no-op single-host).
 
