@@ -64,8 +64,17 @@ class SwinTrainConfig:
     data_root: str = "data"
     outputs_root: str = "outputs"
     epochs: int = 300
-    batch_size: int = 2  # per chip, reference BATCH_SIZE
-    accum_steps: int = 4
+    # The reference trains micro 2 x accum 4 (train_swin.py:36-37), a
+    # consumer-GPU VRAM envelope. The optimizer step is the mean gradient
+    # over batch_size*accum_steps = 8 patches for any split (the scan in
+    # train/steps.py divides each micro loss by accum), so the split is an
+    # execution detail; micro 8 x accum 1 + remat_loss measured 15.535 p/s
+    # vs 14.04 at 2x4 on the v5e (PERF.md round-4 session 3; plain 8x1
+    # does not fit in 15.75G HBM — remat_loss below makes it fit). Set
+    # batch_size=2, accum_steps=4, remat_loss=False to reproduce the
+    # reference envelope.
+    batch_size: int = 8  # per chip
+    accum_steps: int = 1
     lr_g: float = 1e-4
     lr_d: float = 1e-4
     ema_decay: float = 0.999
@@ -89,8 +98,11 @@ class SwinTrainConfig:
     fused: bool | None = None
     remat: bool = False
     # checkpoint both loss phases (D pair + VGG) so only generator residuals
-    # peak in HBM — enables micro-batch >= 4 at full size (train/steps.py)
-    remat_loss: bool = False
+    # peak in HBM — enables micro-batch >= 4 at full size (train/steps.py).
+    # Default ON: it is what lets the default micro-8 split fit, and the
+    # recompute (one extra D pair + VGG forward per micro) is cheaper than
+    # the MXU fill it buys at micro 8 (PERF.md round-4 session 3)
+    remat_loss: bool = True
     use_vgg: bool = True
     vgg_weights: str | None = None  # npz of flax params; None -> seeded init
     seed: int = 0
@@ -179,6 +191,17 @@ def _load_vgg(cfg):
 
 def _reshape_accum(batch, accum, micro):
     return {k: v.reshape(accum, micro, *v.shape[1:]) for k, v in batch.items()}
+
+
+# Deferring metric fetches to epoch end removes every per-step sync, so the
+# host could dispatch arbitrarily far ahead of the device, keeping each
+# dispatched step's full batch alive in HBM (bounded only by PJRT's
+# in-flight-computation limit) — a risk on configs near the 15.75G ceiling.
+# Every _RUNAHEAD_SYNC steps the loop fetches one scalar from that many
+# steps back: at most ~2x_RUNAHEAD_SYNC steps' batches are ever resident,
+# while paying one tunnel round-trip per _RUNAHEAD_SYNC steps instead of
+# one per step.
+_RUNAHEAD_SYNC = 8
 
 
 def _load_pretrained_hat(path: str, g_params, cfg):
@@ -293,17 +316,20 @@ def train_swin_run(cfg: SwinTrainConfig, resume: bool = True) -> dict:
         lr_d = cosine_annealing_lr(epoch, cfg.lr_d, cfg.epochs)
         # device-staged stream + deferred metric fetch: the H2D copy of
         # batch i+1 overlaps step i, and no per-step scalar fetch forces a
-        # sync — the host dispatches ahead and syncs once per epoch
-        stream = prefetch_to_mesh(
+        # sync — the host dispatches ahead (bounded, see _RUNAHEAD_SYNC)
+        # and syncs once per epoch
+        step_metrics = []
+        with prefetch_to_mesh(
             it.epoch(epoch), mesh,
             transform=lambda b: _reshape_accum(b, cfg.accum_steps, micro // pcount),
-        )
-        step_metrics = []
-        for bi, (_, b) in enumerate(stream):
-            if cfg.max_steps_per_epoch and bi >= cfg.max_steps_per_epoch:
-                break
-            state, m = step(state, b, lr_g, lr_d)
-            step_metrics.append(m)
+        ) as stream:
+            for bi, (_, b) in enumerate(stream):
+                if cfg.max_steps_per_epoch and bi >= cfg.max_steps_per_epoch:
+                    break
+                state, m = step(state, b, lr_g, lr_d)
+                step_metrics.append(m)
+                if len(step_metrics) % _RUNAHEAD_SYNC == 0:
+                    jax.device_get(step_metrics[-_RUNAHEAD_SYNC]["loss_g"])
         g_sum = d_sum = valid = 0.0
         for m in jax.device_get(step_metrics):
             g_sum += float(m["loss_g"]) * float(m["valid_batches"])
@@ -455,17 +481,19 @@ def train_hat_run(cfg: HATTrainConfig, resume: bool = True) -> dict:
         steps = 0
         last_batch = None
         # device-staged stream + deferred metric fetch (see train_swin_run)
-        stream = prefetch_to_mesh(
+        step_metrics = []
+        with prefetch_to_mesh(
             it.epoch(epoch), mesh,
             transform=lambda b: _reshape_accum(b, cfg.accum_steps, micro // pcount),
-        )
-        step_metrics = []
-        for bi, (batch, b) in enumerate(stream):
-            if cfg.max_steps_per_epoch and bi >= cfg.max_steps_per_epoch:
-                break
-            state, m = step(state, b, lr_now, lr_d_now, warmup=warmup)
-            step_metrics.append(m)
-            last_batch = batch
+        ) as stream:
+            for bi, (batch, b) in enumerate(stream):
+                if cfg.max_steps_per_epoch and bi >= cfg.max_steps_per_epoch:
+                    break
+                state, m = step(state, b, lr_now, lr_d_now, warmup=warmup)
+                step_metrics.append(m)
+                last_batch = batch
+                if len(step_metrics) % _RUNAHEAD_SYNC == 0:
+                    jax.device_get(step_metrics[-_RUNAHEAD_SYNC]["loss_g"])
         for m in jax.device_get(step_metrics):
             sums["g"] += float(m["loss_g"]); sums["l1"] += float(m["l1"])
             sums["adv"] += float(m["g_adv"]); sums["d"] += float(m["loss_d"])

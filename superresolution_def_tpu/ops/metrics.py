@@ -87,7 +87,7 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     under AMP — torch autocast exempts conv stats; bf16 inputs are upcast).
     The five Gaussian blurs run as ONE channel-stacked separable blur (the
     window is rank-1, so this is the same map as five 11x11 'valid' convs up
-    to fp reassociation; parity locked in tests/test_metrics.py)."""
+    to fp reassociation; parity locked in tests/test_ops.py)."""
     img1 = img1.astype(jnp.float32)
     img2 = img2.astype(jnp.float32)
     g1 = jnp.asarray(_gaussian_1d(window_size))

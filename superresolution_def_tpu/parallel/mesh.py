@@ -76,9 +76,8 @@ def shard_batch(batch: Mapping[str, np.ndarray], mesh: Mesh, batch_axis: int = 1
     return out
 
 
-def prefetch_to_mesh(batches, mesh: Mesh, transform=None, depth: int = 2,
-                     batch_axis: int = 1):
-    """Stage batches onto the mesh from a background thread, ``depth`` ahead.
+class _MeshPrefetcher:
+    """Iterator staging batches onto the mesh from a background thread.
 
     Yields ``(host_batch, sharded_batch)`` pairs: the host->device copy of
     batch i+1 overlaps the device compute of batch i, instead of serializing
@@ -91,51 +90,99 @@ def prefetch_to_mesh(batches, mesh: Mesh, transform=None, depth: int = 2,
 
     The host batch is passed through untouched (previews and shape checks
     want numpy); ``transform`` (e.g. the accum reshape) applies before
-    sharding. Early exits from the consuming loop release the thread via
-    the generator's ``finally``.
+    sharding. Shutdown is deterministic: ``close()`` (or exiting the
+    ``with`` block) stops the worker and joins it — no reliance on the
+    consumer generator being GC'd after an early ``break``, so staged
+    batches don't linger in HBM through the validation loop.
+
+    Worker exceptions (loader IO errors etc.) are relayed and re-raised in
+    the consuming thread on the next ``__next__`` — the same producer-death
+    class of bug as the round-4 DataIterator deadlock.
     """
-    import queue as _queue
-    import threading
 
-    q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
-    stop = threading.Event()
-    _END = object()
+    def __init__(self, batches, mesh: Mesh, transform=None, depth: int = 2,
+                 batch_axis: int = 1):
+        import queue as _queue
+        import threading
 
-    def worker():
-        try:
-            for b in batches:
-                staged = transform(b) if transform is not None else b
-                staged = shard_batch(staged, mesh, batch_axis=batch_axis)
-                while not stop.is_set():
-                    try:
-                        q.put((b, staged), timeout=0.25)
-                        break
-                    except _queue.Full:
-                        continue
-                if stop.is_set():
-                    return
-            q.put(_END)
-        except BaseException as e:  # surface loader errors in the main thread
-            q.put(e)
+        self._queue_mod = _queue
+        self._q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._END = object()
+        self._closed = False
 
-    t = threading.Thread(target=worker, daemon=True, name="mesh-prefetch")
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        stop.set()
-        # drain so a blocked worker can observe the stop flag and exit
-        while not q.empty():
+        def worker():
             try:
-                q.get_nowait()
-            except _queue.Empty:
+                for b in batches:
+                    staged = transform(b) if transform is not None else b
+                    staged = shard_batch(staged, mesh, batch_axis=batch_axis)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put((b, staged), timeout=0.25)
+                            break
+                        except _queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+                self._q.put(self._END)
+            except BaseException as e:  # surface loader errors to the consumer
+                self._q.put(e)
+
+        self._thread = threading.Thread(
+            target=worker, daemon=True, name="mesh-prefetch"
+        )
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._closed:
+            raise StopIteration
+        item = self._q.get()
+        if item is self._END:
+            self.close()
+            raise StopIteration
+        if isinstance(item, BaseException):
+            self.close()
+            raise item
+        return item
+
+    def close(self) -> None:
+        """Stop the worker, drop staged batches, and join the thread."""
+        if self._closed:
+            return
+        self._closed = True
+        self._stop.set()
+        # drain so a put-blocked worker can observe the stop flag and exit
+        while True:
+            try:
+                self._q.get_nowait()
+            except self._queue_mod.Empty:
                 break
+        self._thread.join(timeout=10.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):  # backstop only; close() is the contract
+        self.close()
+
+
+def prefetch_to_mesh(batches, mesh: Mesh, transform=None, depth: int = 2,
+                     batch_axis: int = 1) -> _MeshPrefetcher:
+    """Stage batches onto the mesh ``depth`` ahead (see :class:`_MeshPrefetcher`).
+
+    Returns a closeable iterator; use as a context manager so early exits
+    (``max_steps_per_epoch``, exceptions) release the staging thread and its
+    HBM-resident batches deterministically.
+    """
+    return _MeshPrefetcher(batches, mesh, transform=transform, depth=depth,
+                           batch_axis=batch_axis)
 
 
 def sync_metrics(metrics: dict) -> dict:

@@ -77,6 +77,100 @@ def test_sync_metrics_single_host_passthrough():
     assert out == {"psnr_sum": 4.0, "count": 2.0}
 
 
+# ---- prefetch_to_mesh: the device-staging iterator both production epoch
+# loops consume (cli/trainers.py). Replaces the reference's pin_memory +
+# async .to(device) (train_swin.py:142-145). ----
+
+def _host_batches(n, accum=2, b=8, size=8):
+    for i in range(n):
+        rng = np.random.default_rng(i)
+        yield {
+            "lr": rng.integers(0, 65535, (accum * b, size, size, 1), dtype=np.uint16),
+            "hr": rng.integers(0, 65535, (accum * b, size * 4, size * 4, 1), dtype=np.uint16),
+        }
+
+
+def test_prefetch_full_drain_order_and_transform():
+    from superresolution_def_tpu.parallel import prefetch_to_mesh
+
+    mesh = make_mesh()
+    seen = []
+    tf = lambda bt: {k: v.reshape(2, 8, *v.shape[1:]) for k, v in bt.items()}  # noqa: E731
+    with prefetch_to_mesh(_host_batches(5), mesh, transform=tf) as stream:
+        for host, staged in stream:
+            # host batch passes through untouched (pre-transform shape)
+            assert host["lr"].shape == (16, 8, 8, 1)
+            # staged batch is transformed, device-resident, micro-axis sharded
+            assert staged["lr"].shape == (2, 8, 8, 8, 1)
+            assert isinstance(staged["lr"], jax.Array)
+            assert not staged["lr"].sharding.is_fully_replicated
+            seen.append(host["lr"][0, 0, 0, 0])
+    assert len(seen) == 5
+    # order preserved: batch i was generated with seed i
+    for i, v in enumerate(seen):
+        ref = np.random.default_rng(i).integers(
+            0, 65535, (16, 8, 8, 1), dtype=np.uint16
+        )[0, 0, 0, 0]
+        assert v == ref
+
+
+def test_prefetch_early_break_closes_worker_deterministically():
+    from superresolution_def_tpu.parallel import prefetch_to_mesh
+
+    mesh = make_mesh()
+    produced = []
+
+    def gen():
+        for i, bt in enumerate(_host_batches(100)):
+            produced.append(i)
+            yield bt
+
+    stream = prefetch_to_mesh(gen(), mesh, depth=2)
+    for bi, _ in enumerate(stream):
+        if bi >= 2:
+            break
+    stream.close()
+    # worker thread has exited (join happened inside close) and stopped
+    # consuming: it can be at most consumed(3) + depth(2) + 1 in-flight
+    assert not stream._thread.is_alive()
+    n_after_close = len(produced)
+    assert n_after_close <= 6, produced
+    import time as _t
+    _t.sleep(0.3)
+    assert len(produced) == n_after_close  # no production after close
+    # closed iterator terminates cleanly
+    assert list(stream) == []
+
+
+def test_prefetch_relays_producer_exception():
+    from superresolution_def_tpu.parallel import prefetch_to_mesh
+
+    mesh = make_mesh()
+
+    def gen():
+        yield from _host_batches(2)
+        raise OSError("corrupt TIFF mid-epoch")
+
+    got = []
+    with pytest.raises(OSError, match="corrupt TIFF"):
+        with prefetch_to_mesh(gen(), mesh) as stream:
+            for host, _ in stream:
+                got.append(host)
+    assert len(got) == 2  # both good batches arrived before the relay
+
+
+def test_prefetch_exception_in_consumer_body_still_cleans_up():
+    from superresolution_def_tpu.parallel import prefetch_to_mesh
+
+    mesh = make_mesh()
+    stream = prefetch_to_mesh(_host_batches(50), mesh, depth=2)
+    with pytest.raises(ValueError):
+        with stream:
+            for _ in stream:
+                raise ValueError("step blew up")
+    assert not stream._thread.is_alive()
+
+
 def test_fused_generator_shard_map_matches_unfused_dp():
     """fused=True + fused_mesh: the Pallas generator runs per-shard under
     shard_map on the DP mesh; losses match the unfused sharded step."""
