@@ -152,7 +152,6 @@ def cmd_train(args) -> None:
         use_bf16=args.bf16,
         attn_impl=args.attn_impl,
         remat=args.remat,
-        remat_loss=args.remat_loss,
         use_vgg=not args.no_vgg,
         vgg_weights=args.vgg_weights,
         seed=args.seed,
@@ -172,6 +171,8 @@ def cmd_train(args) -> None:
             cfg.batch_size = args.batch_size
         if args.accum_steps:
             cfg.accum_steps = args.accum_steps
+        if args.remat_loss is not None:  # None keeps the per-arch default
+            cfg.remat_loss = args.remat_loss
         if args.fused is not None:
             cfg.fused = args.fused == "on"
         train_swin_run(cfg, resume=not args.no_resume)
@@ -181,6 +182,8 @@ def cmd_train(args) -> None:
             cfg.batch_size = args.batch_size
         if args.accum_steps:
             cfg.accum_steps = args.accum_steps
+        if args.remat_loss is not None:
+            cfg.remat_loss = args.remat_loss
         if args.fused is not None:
             cfg.fused = args.fused == "on"
         cfg.pretrained_hat = args.pretrained_hat
@@ -307,10 +310,12 @@ def main(argv=None) -> None:
     pt.add_argument("--bf16", action="store_true")
     pt.add_argument("--remat", action="store_true", help="checkpoint blocks (less memory, more compute)")
     pt.add_argument(
-        "--remat-loss", action="store_true",
+        "--remat-loss", action=argparse.BooleanOptionalAction, default=None,
         help="checkpoint both loss phases (D pair + VGG) so only generator "
              "residuals peak in HBM; enables micro-batch >= 4 at full size "
-             "(algebra-identical, train/steps.py)",
+             "(algebra-identical, train/steps.py). Default: the per-arch "
+             "measured winner (swin on — required for its default micro-8 "
+             "split; hat off)",
     )
     pt.add_argument("--accum-steps", type=int, default=None,
                     help="gradient-accumulation micro-steps per optimizer step")

@@ -19,7 +19,7 @@ data resident on device throughout:
       (patches STAY on device)
     phase 2, one dispatch per target:
       concatenate every frame's device-resident patches
-      -> EXACT per-TARGET percentiles over the kept patches' valid pixels
+      -> per-TARGET percentiles over the kept patches' valid pixels
          (log-stretched, > MIN_VALID, multiset over all kept pairs —
           the same population the staged normalize_target reads from
           6_patches_final)
@@ -29,18 +29,23 @@ data resident on device throughout:
 
 The HR stream never needs the device at all — its patches are slices of a
 frame already in host memory, and normalization is elementwise — so it
-runs as vectorized numpy on the host, overlapping the device round-trip;
-its per-target stats weight each HR slice by how many observatory frames
-kept it (the staged path writes one hubble.fits copy per kept pair).
+runs as vectorized numpy on the host, overlapping the device round-trip.
+HR per-target stats are reference-true SAMPLED percentiles: each written
+hubble.fits copy contributes at most 4000 randomly-chosen valid pixels to
+the pool, exactly Dataset_step4_normalization.py:51-67 (see
+``_hr_host_stats`` — this replaced an exact all-pixel host percentile in
+round 4; the exact sort over 169x512² px cost ~5 s/run), and the HR
+quantize runs inside the writer pool, overlapped with the TIFF IO.
 FITS pairs (6_patches_final layout) and uint16 TIFFs (7_dataset_ready_LOG
 layout) are written exactly like the step-wise path.
 
-Documented deviation from the step-wise path: percentile stats are exact
-(over ALL valid pixels of the kept pairs) instead of the reference's
-4000-px-per-image random subsample (Dataset_step4:26,75-80) — the
-subsample exists only to keep the CPU pass cheap; with the data on device
-the exact reduction is cheaper than the bookkeeping. The step-wise
-`normalize_target` keeps the sampled semantics for reference parity.
+Documented deviation from the step-wise path: the LR stream's percentile
+stats are exact (over ALL valid pixels of the kept patches, computed on
+device in ``_lr_normalize_program``) instead of the reference's
+4000-px-per-image subsample (Dataset_step4:26,75-80) — the subsample
+exists only to keep a CPU pass cheap; with the LR data already on device
+the exact reduction is cheaper than the sampling bookkeeping. The
+step-wise `normalize_target` keeps the sampled semantics for both streams.
 """
 
 from __future__ import annotations
