@@ -486,12 +486,34 @@ def hat_train_breakdown(micro=1, dtype_name="bf16", impl="fused"):
         float(jax.device_get(mm["loss_g"]))
         full_times.append((time.perf_counter() - t0) / 3)
     full = min(full_times)
+
+    # Same step with the batch ALREADY device-resident (what the production
+    # prefetch_to_mesh loop gives the step): full_step - full_step_staged is
+    # the per-step H2D share the staging thread overlaps; the remaining
+    # non-phase delta is true in-step overhead (scan/augment/opt/EMA/SN).
+    batch_dev = {k: jax.device_put(v) for k, v in batch.items()}
+    st, mm = step(st, batch_dev, 1e-4, 1e-4, warmup=False)
+    float(jax.device_get(mm["loss_g"]))
+    staged_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            st, mm = step(st, batch_dev, 1e-4, 1e-4, warmup=False)
+        float(jax.device_get(mm["loss_g"]))
+        staged_times.append((time.perf_counter() - t0) / 3)
+    staged = min(staged_times)
+
     phases = accum * (results["g_phase_full"] + results["d_phase"])
     print(f"{'full_step':>16}: {full*1000:8.2f} ms/STEP   "
           f"({accum * micro / full:7.2f} patches/s) [accum {accum} x micro {micro}]")
+    print(f"{'full_step_staged':>16}: {staged*1000:8.2f} ms/STEP   "
+          f"({accum * micro / staged:7.2f} patches/s) [device-resident batch]")
+    print(f"{'h2d share':>16}: {(full - staged)*1000:8.2f} ms/STEP "
+          f"(overlapped by prefetch_to_mesh in the production loop)")
     print(f"{'phases x accum':>16}: {phases*1000:8.2f} ms/STEP")
     print(f"{'non-phase rest':>16}: {(full - phases)*1000:8.2f} ms/STEP "
-          f"({100 * (full - phases) / full:.1f}% of the step)")
+          f"({100 * (full - phases) / full:.1f}% of the step; "
+          f"in-step rest {(staged - phases)*1000:.2f} ms)")
 
     for k, v in results.items():
         print(f"{k:>16}: {v*1000:8.2f} ms/micro  ({micro/v:7.2f} patches/s)")
@@ -500,6 +522,7 @@ def hat_train_breakdown(micro=1, dtype_name="bf16", impl="fused"):
           f"-> {micro/est:.2f} p/s at accum x micro")
     out = {k: round(v * 1000, 3) for k, v in results.items()}
     out["full_step_ms"] = round(full * 1000, 3)
+    out["full_step_staged_ms"] = round(staged * 1000, 3)
     out["accum"] = accum
     print(json.dumps(out))
 

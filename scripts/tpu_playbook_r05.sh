@@ -69,4 +69,11 @@ run learn_swin_long 10800 python scripts/train_learns.py --arch swin --epochs 80
   --data-root /tmp/learn_data --outputs-root /tmp/learn_out_r05 --fresh \
   --artifacts artifacts/learn_r05/swin_long
 
+# --- item 5b: hat long-horizon — the riskier dynamics (warmup->GAN handoff
+#     + D/G balance over many GAN epochs; the r4 proof stopped at 12 ep,
+#     8 of them GAN). 40 epochs ~ 36 GAN epochs at ~2.5 min/ep. ---
+run learn_hat_long 10800 python scripts/train_learns.py --arch hat --epochs 40 \
+  --data-root /tmp/learn_data --outputs-root /tmp/learn_out_r05_hat \
+  --artifacts artifacts/learn_r05/hat_long
+
 echo "PLAYBOOK_R05 COMPLETE $(date +%H:%M:%S)"
