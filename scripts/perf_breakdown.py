@@ -503,6 +503,28 @@ def hat_train_breakdown(micro=1, dtype_name="bf16", impl="fused"):
         staged_times.append((time.perf_counter() - t0) / 3)
     staged = min(staged_times)
 
+    # Surgical in-step-rest attribution: the same staged step with one
+    # ingredient removed at a time (augment; live PSNR/SSIM metrics). Each
+    # is a separate jit specialization; deltas vs full_step_staged name the
+    # in-step non-phase cost component by component.
+    # (the steps donate their input state, so thread the live ``st``
+    # through every ablation sequentially — ``state`` itself was donated
+    # by full_step's compile call above)
+    ablations = {}
+    for tag, kw in (("noaug", {"augment": False}),
+                    ("nometrics", {"train_metrics": False})):
+        step_a = make_hat_train_step(bundle, accum_steps=accum, **kw)
+        st, mm = step_a(st, batch_dev, 1e-4, 1e-4, warmup=False)
+        float(jax.device_get(mm["loss_g"]))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                st, mm = step_a(st, batch_dev, 1e-4, 1e-4, warmup=False)
+            float(jax.device_get(mm["loss_g"]))
+            times.append((time.perf_counter() - t0) / 3)
+        ablations[tag] = min(times)
+
     phases = accum * (results["g_phase_full"] + results["d_phase"])
     print(f"{'full_step':>16}: {full*1000:8.2f} ms/STEP   "
           f"({accum * micro / full:7.2f} patches/s) [accum {accum} x micro {micro}]")
@@ -514,6 +536,9 @@ def hat_train_breakdown(micro=1, dtype_name="bf16", impl="fused"):
     print(f"{'non-phase rest':>16}: {(full - phases)*1000:8.2f} ms/STEP "
           f"({100 * (full - phases) / full:.1f}% of the step; "
           f"in-step rest {(staged - phases)*1000:.2f} ms)")
+    for tag, v in ablations.items():
+        print(f"{'staged_' + tag:>16}: {v*1000:8.2f} ms/STEP "
+              f"(removing it saves {(staged - v)*1000:.2f} ms)")
 
     for k, v in results.items():
         print(f"{k:>16}: {v*1000:8.2f} ms/micro  ({micro/v:7.2f} patches/s)")
@@ -523,6 +548,8 @@ def hat_train_breakdown(micro=1, dtype_name="bf16", impl="fused"):
     out = {k: round(v * 1000, 3) for k, v in results.items()}
     out["full_step_ms"] = round(full * 1000, 3)
     out["full_step_staged_ms"] = round(staged * 1000, 3)
+    for tag, v in ablations.items():
+        out[f"staged_{tag}_ms"] = round(v * 1000, 3)
     out["accum"] = accum
     print(json.dumps(out))
 

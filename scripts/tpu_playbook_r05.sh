@@ -77,3 +77,8 @@ run learn_hat_long 10800 python scripts/train_learns.py --arch hat --epochs 40 \
   --artifacts artifacts/learn_r05/hat_long
 
 echo "PLAYBOOK_R05 COMPLETE $(date +%H:%M:%S)"
+
+# --- wave 2 (appended 01:15 while wave 1 ran; append-only is safe): the
+#     in-step-rest ablation rows added to perf_breakdown after wave 1's
+#     hat_train_breakdown_b2 quantified 930 ms staged non-phase. ---
+run hat_train_breakdown_b2_ablate 3600 python scripts/perf_breakdown.py --what hat-train --batch 2

@@ -245,8 +245,14 @@ def make_hat_train_step(
     ema_decay: float = EMA_DECAY,
     remat_loss: bool = False,
     donate: bool = True,
+    train_metrics: bool = True,
 ):
     """Hybrid-HAT step; returns a step(state, batch, lr_g, lr_d, warmup).
+
+    ``train_metrics``: compute live train-set PSNR/SSIM per micro like the
+    reference's per-batch ``metrics.update(sr, hr)`` (train_hat.py:228).
+    False zeroes those sums (perf attribution only — the trainers keep the
+    reference semantics).
 
     ``donate``: see make_swin_train_step — False for tests that reuse the
     pre-step state.
@@ -345,8 +351,12 @@ def make_hat_train_step(
 
             # live train metrics (train_hat.py:228)
             l1v = l1_loss(sr_sg, hr01)
-            psnr_sum = psnr_fn(sr_sg, hr01).sum()
-            ssim_v = ssim_fn(jnp.clip(sr_sg, 0, 1), jnp.clip(hr01, 0, 1))
+            if train_metrics:
+                psnr_sum = psnr_fn(sr_sg, hr01).sum()
+                ssim_v = ssim_fn(jnp.clip(sr_sg, 0, 1), jnp.clip(hr01, 0, 1))
+            else:
+                psnr_sum = jnp.zeros(())
+                ssim_v = jnp.zeros(())
             b = sr_sg.shape[0]
             sums = {
                 "g_total": sums["g_total"] + g_loss * accum_steps,
